@@ -1,0 +1,241 @@
+"""Episode-slice replay buffer, device-resident when it fits.
+
+TPU-native replacement for the reference's torchrl ReplayBuffer +
+SliceSampler (reference: tdmpc2/common/buffer.py:7-115). Design:
+
+- Storage is a preallocated ring of episodes: arrays shaped
+  [capacity_eps, rows, ...] where `rows = episode_length + 1` (episodes are
+  stored with the reference's leading bootstrap row whose action/reward are
+  NaN, online_trainer.py:54-72; that row is never consumed by training because
+  sampled slices drop the first action/reward of the slice, buffer.py:100-104).
+- Episode writes are jitted `dynamic_update_slice`s with donated storage, so
+  adding an episode is an in-place HBM write.
+- Sampling is one jitted gather: uniform episode index + uniform valid start
+  offset (identical in distribution to torchrl's strict-length SliceSampler
+  for fixed-length episodes, and episode-boundary-safe for variable lengths
+  via a per-episode row count), producing the [horizon+1, batch] training
+  layout directly on device.
+- Storage placement mirrors the reference's 2.5x-bytes-fit heuristic
+  (buffer.py:62): device HBM when it fits, host RAM (numpy) otherwise, with
+  a single H2D transfer per sampled batch in the host case.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _device_free_bytes() -> int:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return stats['bytes_limit'] - stats['bytes_in_use']
+    except Exception:
+        return 8 << 30  # conservative default when stats are unavailable
+
+
+class Buffer:
+    """Replay buffer for TD-MPC2 training."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self._capacity = int(min(cfg.buffer_size, cfg.steps))
+        self._rows = int(cfg.episode_length) + 1
+        self._capacity_eps = max(1, self._capacity // int(cfg.episode_length))
+        self._horizon = int(cfg.horizon)
+        self._batch_size = int(cfg.batch_size)
+        self._num_eps = 0
+        self._storage = None
+        self._on_device = None
+        self._key = jax.random.PRNGKey(cfg.seed + 0x5EED)
+        self._host_rng = np.random.default_rng(cfg.seed + 0x5EED)
+        self._sample_jit = None
+        self._add_jit = None
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def num_eps(self) -> int:
+        return self._num_eps
+
+    # ------------------------------------------------------------------ init
+
+    def _init_storage(self, ep: dict):
+        """Allocate storage using the first episode to size it
+        (reference buffer.py:50-67)."""
+        shapes = {k: v.shape[1:] for k, v in ep.items()}
+        dtypes = {k: v.dtype for k, v in ep.items()}
+        bytes_per_row = sum(
+            int(np.prod(shapes[k])) * np.dtype(dtypes[k]).itemsize for k in ep)
+        total_bytes = bytes_per_row * self._rows * self._capacity_eps
+        free = _device_free_bytes()
+        self._on_device = 2.5 * total_bytes < free
+        where = 'DEVICE (HBM)' if self._on_device else 'HOST (RAM)'
+        print(f'Buffer capacity: {self._capacity:,} '
+              f'({self._capacity_eps:,} episodes x {self._rows} rows)')
+        print(f'Storage required: {total_bytes / 1e9:.2f} GB -> {where}')
+
+        xp = jnp if self._on_device else np
+        self._storage = {
+            k: xp.zeros((self._capacity_eps, self._rows) + tuple(shapes[k]),
+                        dtypes[k]) for k in ep}
+        self._ep_rows = (jnp if self._on_device else np).zeros(
+            (self._capacity_eps,), np.int32)
+        self._has_task = 'task' in ep
+        self._task_store = None
+        if self._has_task:
+            # task is a per-episode scalar; store separately
+            del self._storage['task']
+            self._task_store = xp.zeros((self._capacity_eps,), np.int32)
+
+        if self._on_device:
+            n_store = len(self._storage)
+            self._add_jit = jax.jit(
+                self._add_device,
+                donate_argnums=tuple(range(n_store + 1)),
+                static_argnames=())
+            self._sample_jit = jax.jit(self._sample_device)
+
+    # ------------------------------------------------------------------- add
+
+    def add(self, ep: dict) -> int:
+        """Add one episode (dict of [rows, ...] arrays; may include a scalar
+        'task'). Short episodes (episodic mode) are zero-padded to `rows` —
+        pass 'valid_rows' to record the true length. Returns episode count.
+        (reference buffer.py:84-91)"""
+        ep = dict(ep)
+        valid_rows = int(ep.pop('valid_rows', ep['reward'].shape[0]))
+        task = ep.pop('task', None)
+        # pad to fixed rows
+        for k, v in ep.items():
+            v = np.asarray(v)
+            if v.shape[0] < self._rows:
+                pad = [(0, self._rows - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
+                v = np.pad(v, pad)
+            ep[k] = v
+        if self._storage is None:
+            probe = dict(ep)
+            if task is not None:
+                probe['task'] = np.zeros((self._rows,), np.int32)
+            self._init_storage(probe)
+
+        slot = self._num_eps % self._capacity_eps
+        if self._on_device:
+            names = sorted(self._storage)
+            outs = self._add_jit(
+                *[self._storage[k] for k in names],
+                self._ep_rows,
+                *[jnp.asarray(ep[k]) for k in names],
+                jnp.int32(slot), jnp.int32(valid_rows))
+            self._storage = dict(zip(names, outs[:-1]))
+            self._ep_rows = outs[-1]
+            if self._has_task:
+                self._task_store = self._task_store.at[slot].set(int(task))
+        else:
+            for k in self._storage:
+                self._storage[k][slot] = ep[k]
+            self._ep_rows[slot] = valid_rows
+            if self._has_task:
+                self._task_store[slot] = int(task)
+        self._num_eps += 1
+        return self._num_eps
+
+    @staticmethod
+    def _add_device(*args):
+        """(storage leaves..., ep_rows, episode leaves..., slot, valid_rows)"""
+        n = (len(args) - 3) // 2
+        storage, ep_rows = args[:n], args[n]
+        eps, slot, valid = args[n + 1:-2], args[-2], args[-1]
+        out = tuple(
+            jax.lax.dynamic_update_index_in_dim(s, e, slot, 0)
+            for s, e in zip(storage, eps))
+        return out + (ep_rows.at[slot].set(valid),)
+
+    def load(self, episodes: dict) -> int:
+        """Bulk-load a batch of episodes [N, rows, ...] (offline datasets,
+        reference buffer.py:69-82)."""
+        n = episodes['reward'].shape[0]
+        for i in range(n):
+            self.add({k: v[i] for k, v in episodes.items()})
+        return self._num_eps
+
+    # ---------------------------------------------------------------- sample
+
+    def sample(self):
+        """Sample a batch of (horizon+1)-row slices.
+
+        Returns (obs [T+1,B,...], action [T,B,A], reward [T,B,1],
+        terminated [T,B,1], task [B] or None) — the exact layout the update
+        kernel consumes (reference buffer.py:93-115).
+        """
+        assert self._num_eps > 0, 'Cannot sample from an empty buffer'
+        n_filled = min(self._num_eps, self._capacity_eps)
+        self._key, k = jax.random.split(self._key)
+        if self._on_device:
+            names = sorted(self._storage)
+            batch = self._sample_jit(
+                {k_: self._storage[k_] for k_ in names},
+                self._ep_rows,
+                self._task_store if self._has_task else None,
+                jnp.int32(n_filled), k)
+        else:
+            batch = self._sample_host(n_filled, k)
+        return batch
+
+    def _sample_device(self, storage, ep_rows, task_store, n_filled, key):
+        T, B = self._horizon, self._batch_size
+        k_ep, k_start = jax.random.split(key)
+        ep_idx = jax.random.randint(k_ep, (B,), 0, n_filled)
+        max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start
+        u = jax.random.uniform(k_start, (B,))
+        start = jnp.floor(u * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
+
+        t_obs = jnp.arange(T + 1)[None, :]           # [1, T+1]
+        t_act = jnp.arange(1, T + 1)[None, :]        # [1, T]
+        rows_obs = start[:, None] + t_obs            # [B, T+1]
+        rows_act = start[:, None] + t_act            # [B, T]
+        ep_b = ep_idx[:, None]
+
+        obs = storage['obs'][ep_b, rows_obs]         # [B, T+1, ...]
+        action = storage['action'][ep_b, rows_act]   # [B, T, A]
+        reward = storage['reward'][ep_b, rows_act]   # [B, T]
+        if 'terminated' in storage:
+            terminated = storage['terminated'][ep_b, rows_act]
+        else:
+            terminated = jnp.zeros_like(reward)
+
+        obs = jnp.moveaxis(obs, 0, 1)                # [T+1, B, ...]
+        action = jnp.moveaxis(action, 0, 1)
+        reward = jnp.moveaxis(reward, 0, 1)[..., None]
+        terminated = jnp.moveaxis(terminated, 0, 1)[..., None]
+        task = task_store[ep_idx] if task_store is not None else None
+        return obs, action, reward, terminated, task
+
+    def _sample_host(self, n_filled, key):
+        del key  # host path uses a host-side numpy Generator
+        T, B = self._horizon, self._batch_size
+        rng = self._host_rng
+        ep_idx = rng.integers(0, n_filled, B)
+        max_start = np.asarray(self._ep_rows)[ep_idx] - (T + 1)
+        start = (rng.random(B) * (max_start + 1)).astype(np.int64)
+
+        rows_obs = start[:, None] + np.arange(T + 1)[None]
+        rows_act = start[:, None] + np.arange(1, T + 1)[None]
+        ep_b = ep_idx[:, None]
+
+        obs = jnp.asarray(np.moveaxis(self._storage['obs'][ep_b, rows_obs], 0, 1))
+        action = jnp.asarray(np.moveaxis(self._storage['action'][ep_b, rows_act], 0, 1))
+        reward = np.moveaxis(self._storage['reward'][ep_b, rows_act], 0, 1)[..., None]
+        if 'terminated' in self._storage:
+            term = np.moveaxis(self._storage['terminated'][ep_b, rows_act], 0, 1)[..., None]
+        else:
+            term = np.zeros_like(reward)
+        task = (jnp.asarray(self._task_store[ep_idx])
+                if self._has_task else None)
+        return obs, action, jnp.asarray(reward), jnp.asarray(term), task

@@ -1,0 +1,459 @@
+"""TD-MPC2 agent: jit-compiled MPPI planning + world-model learning on TPU.
+
+Re-design of the reference agent (reference: tdmpc2/tdmpc2.py:10-349) around
+two fused XLA kernels instead of torch.compile/CUDA-graph capture:
+
+- `plan`: the full MPPI procedure — policy-prior rollouts, `lax.fori_loop`
+  over CEM iterations, `lax.scan` over the horizon, batched over all
+  `num_samples` trajectories — compiled once per (eval/train) mode with zero
+  host round-trips inside the loop. The warm-start mean is carried through the
+  TrainState (reference `_prev_mean` buffer, tdmpc2.py:40, 166-167, 205).
+- `update`: one jitted, donated training step — TD targets under
+  stop_gradient, scan-unrolled latent rollout, joint model loss, policy-prior
+  update with running Q-scale, Polyak target update
+  (reference tdmpc2.py:208-332).
+
+All state (params, target Q params, both optimizer states, running scale,
+planner warm-start, PRNG key) lives in a single TrainState pytree that is
+donated through the jitted step, so the whole training state stays resident in
+HBM.
+"""
+
+from __future__ import annotations
+
+import pickle
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from tdmpc2_tpu.models.world_model import WorldModel
+from tdmpc2_tpu.ops import math
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    target_Qs: Any
+    opt_state: Any
+    pi_opt_state: Any
+    scale: jnp.ndarray        # running Q-scale (reference common/scale.py)
+    prev_mean: jnp.ndarray    # [H, A] MPPI warm start
+    key: jax.Array
+
+
+def _optim_labels(params):
+    """Label tree for the model optimizer: encoder params get a scaled LR
+    (reference tdmpc2.py:22-30); pi params are excluded (their own Adam)."""
+    labels = {}
+    for k in params:
+        if k == 'encoder':
+            labels[k] = jax.tree.map(lambda _: 'enc', params[k])
+        elif k == 'pi':
+            labels[k] = jax.tree.map(lambda _: 'pi', params[k])
+        else:
+            labels[k] = jax.tree.map(lambda _: 'rest', params[k])
+    return labels
+
+
+class TDMPC2:
+    """TD-MPC2 agent. Single- and multi-task, state and pixel observations."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        # Heuristic for large action spaces (reference tdmpc2.py:34). The
+        # iteration count must be static for the compiled planner.
+        cfg.iterations += 2 * int(cfg.action_dim >= 20)
+        self.model = WorldModel(cfg)
+
+        if cfg.multitask:
+            self.discount = jnp.asarray(
+                [self._get_discount(l) for l in cfg.episode_lengths],
+                dtype=jnp.float32)
+        else:
+            self.discount = float(self._get_discount(cfg.episode_length))
+
+        lr = cfg.lr
+        self._model_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.multi_transform(
+                {'enc': optax.adam(lr * cfg.enc_lr_scale),
+                 'rest': optax.adam(lr),
+                 'pi': optax.set_to_zero()},
+                _optim_labels),
+        )
+        self._pi_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adam(lr, eps=1e-5),
+        )
+
+        self.state = self._init_state(jax.random.PRNGKey(cfg.seed))
+
+        # Compiled entry points. eval_mode is a static branch -> two planner
+        # variants (reference lazily torch.compiles _plan, tdmpc2.py:45-55).
+        self._plan_jit = {
+            em: jax.jit(partial(self._plan, eval_mode=em)) for em in (False, True)}
+        self._pi_act_jit = {
+            em: jax.jit(partial(self._pi_act, eval_mode=em)) for em in (False, True)}
+        self._update_jit = jax.jit(self._update, donate_argnums=0)
+
+    # ------------------------------------------------------------------ setup
+
+    def _init_state(self, key) -> TrainState:
+        kp, kk = jax.random.split(key)
+        params = self.model.init(kp)
+        return TrainState(
+            params=params,
+            target_Qs=jax.tree.map(jnp.copy, params['Qs']),
+            opt_state=self._model_tx.init(params),
+            pi_opt_state=self._pi_tx.init(params['pi']),
+            scale=jnp.ones((), jnp.float32),
+            prev_mean=jnp.zeros((self.cfg.horizon, self.cfg.action_dim), jnp.float32),
+            key=kk,
+        )
+
+    def _get_discount(self, episode_length):
+        """Episode-length -> discount heuristic (reference tdmpc2.py:57-70)."""
+        frac = episode_length / self.cfg.discount_denom
+        return min(max((frac - 1) / frac, self.cfg.discount_min),
+                   self.cfg.discount_max)
+
+    def _task_discount(self, task):
+        if self.cfg.multitask:
+            return self.discount[task]
+        return self.discount
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save(self, fp):
+        """Save agent state (reference tdmpc2.py:72-79 saves model weights
+        only; we save the full train state so runs are resumable)."""
+        blob = jax.tree.map(np.asarray, {
+            'model': self.state.params,
+            'target_Qs': self.state.target_Qs,
+            'opt_state': self.state.opt_state,
+            'pi_opt_state': self.state.pi_opt_state,
+            'scale': self.state.scale,
+        })
+        Path(fp).parent.mkdir(parents=True, exist_ok=True)
+        with open(fp, 'wb') as f:
+            pickle.dump(blob, f)
+
+    def load(self, fp):
+        """Load agent state from a filepath or dict (reference tdmpc2.py:81-95)."""
+        if isinstance(fp, dict):
+            blob = fp
+        else:
+            with open(fp, 'rb') as f:
+                blob = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, blob['model'])
+        target = jax.tree.map(
+            jnp.asarray, blob.get('target_Qs', params['Qs']))
+        st = self.state
+        updates = dict(params=params, target_Qs=target)
+        if 'opt_state' in blob:
+            updates['opt_state'] = jax.tree.map(jnp.asarray, blob['opt_state'])
+            updates['pi_opt_state'] = jax.tree.map(jnp.asarray, blob['pi_opt_state'])
+            updates['scale'] = jnp.asarray(blob['scale'])
+        self.state = st.replace(**updates)
+
+    # ------------------------------------------------------------------ act
+
+    def act(self, obs, t0=False, eval_mode=False, task=None):
+        """Select an action by planning in latent space (reference
+        tdmpc2.py:97-120). Host-facing: takes/returns numpy."""
+        obs = jnp.asarray(obs)[None]
+        task = jnp.asarray([task]) if task is not None else None
+        if self.cfg.mpc:
+            a, prev_mean, key = self._plan_jit[bool(eval_mode)](
+                self.state.params, obs, self.state.prev_mean,
+                jnp.asarray(bool(t0)), self.state.key, task)
+            self.state = self.state.replace(prev_mean=prev_mean, key=key)
+        else:
+            a, key = self._pi_act_jit[bool(eval_mode)](
+                self.state.params, obs, self.state.key, task)
+            self.state = self.state.replace(key=key)
+        return np.asarray(a)
+
+    def _pi_act(self, params, obs, key, task, eval_mode: bool):
+        key, k_enc, k_pi, k_next = jax.random.split(key, 4)
+        enc_key = k_enc if self.cfg.obs == 'rgb' else None
+        z = self.model.encode(params, obs, task, key=enc_key)
+        action, info = self.model.pi(params, z, k_pi, task)
+        a = info['mean'] if eval_mode else action
+        return a[0], k_next
+
+    # ------------------------------------------------------------- planning
+
+    def _estimate_value(self, params, z, actions, key, task):
+        """H-step latent return estimate (reference tdmpc2.py:122-136).
+
+        z: [S, L]; actions: [H, S, A] -> value [S, 1].
+        """
+        cfg = self.cfg
+        discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
+
+        def step(carry, a_t):
+            z, G, disc, term = carry
+            r = math.two_hot_inv(
+                self.model.reward(params, z, a_t, task),
+                cfg.num_bins, cfg.vmin, cfg.vmax)
+            z = self.model.next(params, z, a_t, task)
+            G = G + disc * (1.0 - term) * r
+            disc = disc * discount_f
+            if cfg.episodic:
+                term = jnp.clip(
+                    term + (self.model.termination(params, z, task) > 0.5
+                            ).astype(term.dtype), max=1.0)
+            return (z, G, disc, term), None
+
+        G0 = jnp.zeros((z.shape[0], 1), z.dtype)
+        term0 = jnp.zeros((z.shape[0], 1), z.dtype)
+        disc0 = jnp.ones_like(discount_f)
+        (z, G, disc, term), _ = jax.lax.scan(step, (z, G0, disc0, term0), actions)
+        k_pi, k_q = jax.random.split(key)
+        action, _ = self.model.pi(params, z, k_pi, task)
+        q = self.model.Q(params, z, action, key=k_q, task=task, return_type='avg')
+        return G + disc * (1.0 - term) * q
+
+    def _plan(self, params, obs, prev_mean, t0, key, task, eval_mode: bool):
+        """MPPI planner as one fused kernel (reference tdmpc2.py:138-206).
+
+        Returns (action [A], new_prev_mean [H, A], new_key).
+        """
+        cfg = self.cfg
+        H, S, E = cfg.horizon, cfg.num_samples, cfg.num_elites
+        n_pi = cfg.num_pi_trajs
+        A = cfg.action_dim
+
+        key, k_enc, k_pi_roll, k_loop, k_gumbel, k_noise, k_next = \
+            jax.random.split(key, 7)
+        enc_key = k_enc if cfg.obs == 'rgb' else None
+        z0 = self.model.encode(params, obs, task, key=enc_key)  # [1, L]
+
+        # Policy-prior trajectories (reference tdmpc2.py:154-160).
+        if n_pi > 0:
+            def pi_step(carry, k):
+                z = carry
+                a, _ = self.model.pi(params, z, k, task)
+                return self.model.next(params, z, a, task), a
+            zp = jnp.broadcast_to(z0, (n_pi, z0.shape[-1]))
+            _, pi_actions = jax.lax.scan(
+                pi_step, zp, jax.random.split(k_pi_roll, H))  # [H, n_pi, A]
+
+        z = jnp.broadcast_to(z0, (S, z0.shape[-1]))
+        mean0 = jnp.where(
+            t0,
+            jnp.zeros((H, A), jnp.float32),
+            jnp.concatenate([prev_mean[1:], jnp.zeros((1, A))], 0))
+        std0 = jnp.full((H, A), cfg.max_std, jnp.float32)
+
+        if cfg.multitask:
+            a_mask = self.model.action_masks[task]  # [1, A]
+        else:
+            a_mask = None
+
+        def iteration(_, carry):
+            mean, std, _, _, key = carry
+            key, k_r, k_v = jax.random.split(key, 3)
+            r = jax.random.normal(k_r, (H, S - n_pi, A))
+            samples = jnp.clip(mean[:, None] + std[:, None] * r, -1, 1)
+            if n_pi > 0:
+                actions = jnp.concatenate([pi_actions, samples], axis=1)
+            else:
+                actions = samples
+            if a_mask is not None:
+                actions = actions * a_mask
+
+            value = self._estimate_value(params, z, actions, k_v, task)  # [S,1]
+            value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+            elite_value, elite_idx = jax.lax.top_k(value[:, 0], E)
+            elite_actions = actions[:, elite_idx]           # [H, E, A]
+            elite_value = elite_value[:, None]              # [E, 1]
+
+            max_value = jnp.max(elite_value, axis=0)
+            score = jnp.exp(cfg.temperature * (elite_value - max_value))
+            score = score / jnp.sum(score, axis=0)          # [E, 1]
+            denom = jnp.sum(score, axis=0) + 1e-9
+            mean = jnp.sum(score[None] * elite_actions, axis=1) / denom
+            std = jnp.sqrt(
+                jnp.sum(score[None] * (elite_actions - mean[:, None]) ** 2, axis=1)
+                / denom)
+            std = jnp.clip(std, cfg.min_std, cfg.max_std)
+            if a_mask is not None:
+                mean = mean * a_mask[0]
+                std = std * a_mask[0]
+            return mean, std, score, elite_actions, key
+
+        carry0 = (mean0, std0,
+                  jnp.full((E, 1), 1.0 / E, jnp.float32),
+                  jnp.zeros((H, E, A), jnp.float32),
+                  k_loop)
+        mean, std, score, elite_actions, _ = jax.lax.fori_loop(
+            0, cfg.iterations, iteration, carry0)
+
+        # Gumbel-sample one elite trajectory (reference tdmpc2.py:199-204).
+        idx = math.gumbel_softmax_sample(k_gumbel, score[:, 0])
+        a = elite_actions[0, idx]
+        if not eval_mode:
+            a = a + std[0] * jax.random.normal(k_noise, (A,))
+        return jnp.clip(a, -1, 1), mean, k_next
+
+    # ------------------------------------------------------------- learning
+
+    def update(self, buffer):
+        """One model-learning iteration (reference tdmpc2.py:334-349)."""
+        batch = buffer.sample()
+        self.state, info = self._update_jit(self.state, *batch)
+        return info
+
+    def _td_target(self, params, target_Qs, next_z, reward, terminated, task, key):
+        """Min-Q TD target under stop-gradient (reference tdmpc2.py:241-257)."""
+        k_pi, k_q = jax.random.split(key)
+        action, _ = self.model.pi(params, next_z, k_pi, task)
+        if self.cfg.multitask:
+            discount = self.discount[task][..., None]
+        else:
+            discount = self.discount
+        q = self.model.Q(params, next_z, action, key=k_q, task=task,
+                         return_type='min', target_params=target_Qs)
+        return reward + discount * (1.0 - terminated) * q
+
+    def _update(self, state: TrainState, obs, action, reward, terminated, task=None):
+        """The fused training step (reference tdmpc2.py:259-332)."""
+        cfg = self.cfg
+        T = cfg.horizon
+        rho_t = jnp.power(cfg.rho, jnp.arange(T, dtype=jnp.float32))
+
+        key = state.key
+        (key, k_enc_next, k_td, k_enc0, k_drop, k_pi_upd, k_pi_q,
+         k_pi_drop, k_next) = jax.random.split(key, 9)
+
+        # -- targets (no grad) -- reference tdmpc2.py:261-263
+        enc_key = k_enc_next if cfg.obs == 'rgb' else None
+        next_z = jax.lax.stop_gradient(
+            self.model.encode(state.params, obs[1:], task, key=enc_key))
+        td_targets = jax.lax.stop_gradient(
+            self._td_target(state.params, state.target_Qs, next_z,
+                            reward, terminated, task, k_td))
+
+        # -- model loss -- reference tdmpc2.py:268-304
+        def loss_fn(params):
+            enc0_key = k_enc0 if cfg.obs == 'rgb' else None
+            z0 = self.model.encode(params, obs[0], task, key=enc0_key)
+
+            def rollout(z, a_t):
+                z_next = self.model.next(params, z, a_t, task)
+                return z_next, z_next
+
+            _, zs_pred = jax.lax.scan(rollout, z0, action)   # [T, B, L]
+            consistency = jnp.sum(
+                jnp.mean((zs_pred - next_z) ** 2, axis=(1, 2)) * rho_t)
+            zs = jnp.concatenate([z0[None], zs_pred], axis=0)  # [T+1, B, L]
+
+            _zs = zs[:-1]
+            qs = self.model.Q(params, _zs, action, task=task,
+                              return_type='all', dropout_key=k_drop)
+            reward_preds = self.model.reward(params, _zs, action, task)
+
+            reward_loss = jnp.sum(jnp.mean(
+                math.soft_ce(reward_preds, reward,
+                             cfg.num_bins, cfg.vmin, cfg.vmax),
+                axis=(1, 2)) * rho_t)
+            value_loss = jnp.sum(jnp.mean(
+                math.soft_ce(qs, td_targets[None],
+                             cfg.num_bins, cfg.vmin, cfg.vmax),
+                axis=(2, 3)) * rho_t[None])  # summed over (q, t)
+
+            consistency = consistency / T
+            reward_loss = reward_loss / T
+            value_loss = value_loss / (T * cfg.num_q)
+            if cfg.episodic:
+                term_logit = self.model.termination(
+                    params, zs[1:], task, unnormalized=True)
+                termination_loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+                    term_logit, terminated))
+            else:
+                term_logit = None
+                termination_loss = 0.0
+            total = (cfg.consistency_coef * consistency
+                     + cfg.reward_coef * reward_loss
+                     + cfg.termination_coef * termination_loss
+                     + cfg.value_coef * value_loss)
+            aux = dict(zs=zs, consistency_loss=consistency,
+                       reward_loss=reward_loss, value_loss=value_loss,
+                       termination_loss=termination_loss, term_logit=term_logit)
+            return total, aux
+
+        (total_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = self._model_tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # -- policy update -- reference tdmpc2.py:208-239, 313
+        zs = jax.lax.stop_gradient(aux['zs'])
+        rho_pi = jnp.power(cfg.rho, jnp.arange(T + 1, dtype=jnp.float32))
+
+        def pi_loss_fn(pi_params):
+            p = dict(new_params, pi=pi_params)
+            a_pi, info = self.model.pi(p, zs, k_pi_upd, task)
+            qs_pi = self.model.Q(p, zs, a_pi, key=k_pi_q, task=task,
+                                 return_type='avg', detach=True,
+                                 dropout_key=k_pi_drop)
+            # running-scale update on the t=0 slice (reference scale.py:39-42,
+            # tdmpc2.py:221-222); the scale itself is not differentiated.
+            p5, p95 = math.percentile_range(qs_pi[0])
+            rng = jnp.maximum(p95[0] - p5[0], 1.0)
+            new_scale = state.scale + cfg.tau * (rng - state.scale)
+            new_scale = jax.lax.stop_gradient(new_scale)
+            qs_scaled = qs_pi / new_scale
+            pi_loss = jnp.mean(
+                -jnp.mean(cfg.entropy_coef * info['scaled_entropy'] + qs_scaled,
+                          axis=(1, 2)) * rho_pi)
+            return pi_loss, (new_scale, info)
+
+        (pi_loss, (new_scale, pi_info)), pi_grads = jax.value_and_grad(
+            pi_loss_fn, has_aux=True)(new_params['pi'])
+        pi_grad_norm = optax.global_norm(pi_grads)
+        pi_updates, new_pi_opt_state = self._pi_tx.update(
+            pi_grads, state.pi_opt_state, new_params['pi'])
+        new_params = dict(new_params, pi=optax.apply_updates(
+            new_params['pi'], pi_updates))
+
+        # -- Polyak target update -- reference tdmpc2.py:316, world_model.py:82-86
+        new_target_Qs = optax.incremental_update(
+            new_params['Qs'], state.target_Qs, cfg.tau)
+
+        info = {
+            'consistency_loss': aux['consistency_loss'],
+            'reward_loss': aux['reward_loss'],
+            'value_loss': aux['value_loss'],
+            'termination_loss': aux['termination_loss'],
+            'total_loss': total_loss,
+            'grad_norm': grad_norm,
+            'pi_loss': pi_loss,
+            'pi_grad_norm': pi_grad_norm,
+            'pi_entropy': jnp.mean(pi_info['entropy']),
+            'pi_scaled_entropy': jnp.mean(pi_info['scaled_entropy']),
+            'pi_scale': new_scale,
+        }
+        if cfg.episodic:
+            info.update(math.termination_statistics(
+                jax.nn.sigmoid(aux['term_logit'][-1]), terminated[-1]))
+
+        new_state = state.replace(
+            params=new_params,
+            target_Qs=new_target_Qs,
+            opt_state=new_opt_state,
+            pi_opt_state=new_pi_opt_state,
+            scale=new_scale,
+            key=k_next,
+        )
+        return new_state, info
