@@ -112,9 +112,11 @@ class Buffer:
         ep = dict(ep)
         valid_rows = int(ep.pop('valid_rows', ep['reward'].shape[0]))
         task = ep.pop('task', None)
-        # pad to fixed rows
+        # pad to fixed rows; normalize f64 -> f32 (TPU-native dtype)
         for k, v in ep.items():
             v = np.asarray(v)
+            if v.dtype == np.float64:
+                v = v.astype(np.float32)
             if v.shape[0] < self._rows:
                 pad = [(0, self._rows - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
                 v = np.pad(v, pad)

@@ -1,0 +1,114 @@
+import numpy as np
+
+from tdmpc2_tpu.config import Config, parse_cfg
+from tdmpc2_tpu.data.buffer import Buffer
+
+
+def make_cfg(ep_len=20, horizon=3, batch=16, buffer_size=500, steps=10_000):
+    cfg = parse_cfg(Config(task='toy'))
+    cfg.episode_length = ep_len
+    cfg.horizon = horizon
+    cfg.batch_size = batch
+    cfg.buffer_size = buffer_size
+    cfg.steps = steps
+    return cfg
+
+
+def make_episode(ep_len, obs_dim=5, act_dim=2, ep_id=0):
+    """Episode layout mirrors the trainer: rows = ep_len+1, row 0 has NaN
+    action/reward (reference online_trainer.py:54-72)."""
+    rows = ep_len + 1
+    obs = np.full((rows, obs_dim), ep_id, np.float32) + np.arange(rows)[:, None] / 100
+    action = np.full((rows, act_dim), ep_id + 0.5, np.float32)
+    action[0] = np.nan
+    reward = np.full((rows,), float(ep_id), np.float32)
+    reward[0] = np.nan
+    terminated = np.zeros((rows,), np.float32)
+    terminated[0] = np.nan
+    return dict(obs=obs, action=action, reward=reward, terminated=terminated)
+
+
+def test_add_and_sample_shapes():
+    cfg = make_cfg()
+    buf = Buffer(cfg)
+    for i in range(3):
+        buf.add(make_episode(20, ep_id=i))
+    assert buf.num_eps == 3
+    obs, action, reward, terminated, task = buf.sample()
+    T, B = cfg.horizon, cfg.batch_size
+    assert obs.shape == (T + 1, B, 5)
+    assert action.shape == (T, B, 2)
+    assert reward.shape == (T, B, 1)
+    assert terminated.shape == (T, B, 1)
+    assert task is None
+
+
+def test_sample_never_contains_nan():
+    """The NaN bootstrap row's action/reward must never be consumed."""
+    cfg = make_cfg(batch=64)
+    buf = Buffer(cfg)
+    buf.add(make_episode(20))
+    for _ in range(20):
+        obs, action, reward, terminated, _ = buf.sample()
+        assert np.all(np.isfinite(np.asarray(action)))
+        assert np.all(np.isfinite(np.asarray(reward)))
+        assert np.all(np.isfinite(np.asarray(terminated)))
+
+
+def test_slices_do_not_cross_episodes():
+    """All rows of a slice must come from one episode (obs encodes ep id)."""
+    cfg = make_cfg(batch=64)
+    buf = Buffer(cfg)
+    for i in range(5):
+        buf.add(make_episode(20, ep_id=i))
+    for _ in range(10):
+        obs, action, reward, _, _ = buf.sample()
+        ep_of_obs = np.floor(np.asarray(obs)[..., 0])       # [T+1, B]
+        assert np.all(ep_of_obs == ep_of_obs[0:1])          # constant over time
+        # actions/rewards belong to the same episode
+        np.testing.assert_array_equal(np.asarray(reward)[..., 0],
+                                      ep_of_obs[:-1])
+
+
+def test_ring_overwrite():
+    cfg = make_cfg(buffer_size=60)  # 3 episodes of 20 steps
+    buf = Buffer(cfg)
+    for i in range(5):
+        buf.add(make_episode(20, ep_id=i))
+    assert buf.num_eps == 5
+    # only episodes 2,3,4 remain (0,1 overwritten)
+    seen = set()
+    for _ in range(30):
+        obs, *_ = buf.sample()
+        seen |= set(np.floor(np.asarray(obs)[0, :, 0]).astype(int).tolist())
+    assert seen <= {2, 3, 4}
+    assert len(seen) == 3
+
+
+def test_variable_length_episodes():
+    """Episodic mode: shorter episodes are padded; slices stay in valid rows."""
+    cfg = make_cfg(batch=64)
+    buf = Buffer(cfg)
+    ep = make_episode(8)  # only 9 valid rows of 21
+    ep['valid_rows'] = 9
+    buf.add(ep)
+    for _ in range(10):
+        obs, action, reward, _, _ = buf.sample()
+        # row index encoded in obs fractional part: max start = 9-(3+1)=5
+        frac = np.round((np.asarray(obs)[..., 0] % 1) * 100).astype(int)
+        assert frac.max() <= 8
+        assert np.all(np.isfinite(np.asarray(action)))
+
+
+def test_task_store():
+    cfg = make_cfg()
+    buf = Buffer(cfg)
+    for i in range(4):
+        ep = make_episode(20, ep_id=i)
+        ep['task'] = i + 10
+        buf.add(ep)
+    obs, _, _, _, task = buf.sample()
+    task = np.asarray(task)
+    assert task.shape == (cfg.batch_size,)
+    ep_ids = np.floor(np.asarray(obs)[0, :, 0]).astype(int)
+    np.testing.assert_array_equal(task, ep_ids + 10)
