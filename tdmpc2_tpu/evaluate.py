@@ -1,0 +1,68 @@
+"""Evaluation entry point (reference: tdmpc2/evaluate.py).
+
+Usage:
+    python evaluate.py task=walker-walk checkpoint=/path/to/agent.pkl
+    python evaluate.py task=mt30 model_size=317 checkpoint=...
+
+Loops tasks x eval_episodes with greedy planning; multitask runs report the
+normalized score: mean(success*100 for mw-*, return/10 for DMControl)
+(reference evaluate.py:93-99).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from tdmpc2_tpu.config import load_cfg
+from tdmpc2_tpu.envs import make_env
+from tdmpc2_tpu.tdmpc2 import TDMPC2
+from tdmpc2_tpu.utils.seed import set_seed
+
+
+def evaluate(cfg):
+    assert cfg.checkpoint, 'Must specify a checkpoint to evaluate.'
+    cfg.save_video = False
+    set_seed(cfg.seed)
+    env = make_env(cfg)
+    agent = TDMPC2(cfg)
+    agent.load(cfg.checkpoint)
+
+    scores = []
+    tasks = cfg.tasks if cfg.multitask else [cfg.task]
+    results = {}
+    for task_idx, task in enumerate(tasks):
+        if not cfg.multitask:
+            task_idx = None
+        rewards, successes = [], []
+        for _ in range(cfg.eval_episodes):
+            if cfg.multitask:
+                obs = env.reset(task_idx)
+            else:
+                obs = env.reset()
+            done, ep_reward, t, info = False, 0.0, 0, {}
+            while not done:
+                action = agent.act(obs, t0=(t == 0), eval_mode=True, task=task_idx)
+                obs, reward, done, info = env.step(action)
+                ep_reward += reward
+                t += 1
+            rewards.append(ep_reward)
+            successes.append(info.get('success', 0.0))
+        r, s = float(np.nanmean(rewards)), float(np.nanmean(successes))
+        results[task] = (r, s)
+        print(f'  {task:<28s} R: {r:8.1f}  S: {s:.2f}')
+        if cfg.multitask:
+            scores.append(s * 100 if task.startswith('mw-') else r / 10)
+    if cfg.multitask:
+        print(f'Normalized score: {np.nanmean(scores):.2f}')
+    return results
+
+
+def main(argv=None):
+    cfg = load_cfg(overrides=(argv if argv is not None else sys.argv[1:]))
+    evaluate(cfg)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,44 @@
+"""Training entry point (reference: tdmpc2/train.py).
+
+Usage:
+    python train.py task=walker-walk
+    python train.py task=cartpole-balance steps=100000 seed=3
+    python train.py task=mt30 model_size=317 data_dir=/path/to/mt30
+
+Multitask configs train offline (OfflineTrainer); everything else trains
+online (OnlineTrainer).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from tdmpc2_tpu.config import load_cfg
+from tdmpc2_tpu.data.buffer import Buffer
+from tdmpc2_tpu.envs import make_env
+from tdmpc2_tpu.tdmpc2 import TDMPC2
+from tdmpc2_tpu.trainer import OfflineTrainer, OnlineTrainer
+from tdmpc2_tpu.utils.logger import Logger
+from tdmpc2_tpu.utils.seed import set_seed
+
+
+def train(cfg):
+    assert cfg.steps > 0, 'Must train for at least 1 step.'
+    set_seed(cfg.seed)
+    env = make_env(cfg)
+    agent = TDMPC2(cfg)
+    buffer = Buffer(cfg)
+    logger = Logger(cfg)
+    cls = OfflineTrainer if cfg.multitask else OnlineTrainer
+    trainer = cls(cfg=cfg, env=env, agent=agent, buffer=buffer, logger=logger)
+    trainer.train()
+    print('Training completed successfully')
+
+
+def main(argv=None):
+    cfg = load_cfg(overrides=(argv if argv is not None else sys.argv[1:]))
+    train(cfg)
+
+
+if __name__ == '__main__':
+    main()

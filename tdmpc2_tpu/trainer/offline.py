@@ -1,0 +1,113 @@
+"""Multi-task offline RL trainer.
+
+Mirrors the reference semantics (reference: tdmpc2/trainer/offline_trainer.py:
+15-94): load a fixed multi-task dataset into the replay buffer, run
+`cfg.steps` pure gradient iterations, evaluate over every task each
+`eval_freq` iterations with per-domain aggregation and checkpointing.
+
+Datasets: native `.npz` chunks (arrays 'obs','action','reward','task' shaped
+[num_eps, rows, ...]) are loaded directly. The reference's TensorDict `.pt`
+chunks are loaded through torch when the tensordict package is available.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from time import time
+
+import numpy as np
+
+from tdmpc2_tpu.data.buffer import Buffer
+from tdmpc2_tpu.trainer.base import Trainer
+
+
+def _load_chunk(fp: str) -> dict:
+    if fp.endswith('.npz'):
+        with np.load(fp) as z:
+            return {k: z[k] for k in z.files}
+    if fp.endswith('.pt'):
+        import torch
+        td = torch.load(fp, weights_only=False, map_location='cpu')
+        out = {}
+        for k in ('obs', 'action', 'reward', 'terminated', 'task'):
+            if k in td.keys():
+                out[k] = td[k].numpy()
+        return out
+    raise ValueError(f'Unknown dataset format: {fp}')
+
+
+class OfflineTrainer(Trainer):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._start_time = time()
+
+    def eval(self):
+        """Evaluate over all tasks (reference offline_trainer.py:22-40)."""
+        results = {}
+        for task_idx, task in enumerate(self.cfg.tasks):
+            rewards, successes = [], []
+            for _ in range(self.cfg.eval_episodes):
+                obs, done, ep_reward, t = self.env.reset(task_idx), False, 0.0, 0
+                info = {}
+                while not done:
+                    action = self.agent.act(
+                        obs, t0=(t == 0), eval_mode=True, task=task_idx)
+                    obs, reward, done, info = self.env.step(action)
+                    ep_reward += reward
+                    t += 1
+                rewards.append(ep_reward)
+                successes.append(info.get('success', 0.0))
+            results[f'episode_reward+{task}'] = float(np.nanmean(rewards))
+            results[f'episode_success+{task}'] = float(np.nanmean(successes))
+        return results
+
+    def _load_dataset(self):
+        """Load dataset chunks (reference offline_trainer.py:42-65)."""
+        assert self.cfg.data_dir, 'data_dir must be set for offline training'
+        fps = sorted(glob(os.path.join(self.cfg.data_dir, '*.npz'))) or \
+            sorted(glob(os.path.join(self.cfg.data_dir, '*.pt')))
+        assert len(fps) > 0, f'No data found in {self.cfg.data_dir}'
+        print(f'Found {len(fps)} dataset chunks in {self.cfg.data_dir}')
+
+        # dataset-specific buffer geometry (reference offline_trainer.py:52-56)
+        _cfg = self.cfg.replace()
+        if self.cfg.task == 'mt80':
+            _cfg.episode_length, _cfg.buffer_size = 100, 550_450_000
+        elif self.cfg.task == 'mt30':
+            _cfg.episode_length, _cfg.buffer_size = 500, 345_690_000
+        _cfg.steps = _cfg.buffer_size
+        self.buffer = Buffer(_cfg)
+        for fp in fps:
+            chunk = _load_chunk(fp)
+            n = chunk['reward'].shape[0]
+            print(f'  loading {os.path.basename(fp)}: {n} episodes')
+            for i in range(n):
+                ep = {k: v[i] for k, v in chunk.items()}
+                task = ep.pop('task', None)
+                if task is not None:
+                    ep['task'] = int(np.asarray(task).ravel()[0])
+                self.buffer.add(ep)
+        print(f'Loaded {self.buffer.num_eps} episodes.')
+
+    def train(self):
+        """Offline training loop (reference offline_trainer.py:67-94)."""
+        assert self.cfg.multitask and self.cfg.task in {'mt30', 'mt80'}, \
+            'Offline training supports the mt30/mt80 task sets.'
+        self._load_dataset()
+
+        print(f'Training agent for {self.cfg.steps} iterations...')
+        metrics = {}
+        for i in range(self.cfg.steps):
+            train_metrics = self.agent.update(self.buffer)
+            if i % self.cfg.eval_freq == 0 or i % 10_000 == 0:
+                metrics = dict(iteration=i,
+                               elapsed_time=time() - self._start_time)
+                metrics.update({k: float(v) for k, v in train_metrics.items()})
+                if i % self.cfg.eval_freq == 0:
+                    metrics.update(self.eval())
+                    self.logger.pprint_multitask(metrics, self.cfg)
+                    if i > 0:
+                        self.logger.save_agent(self.agent, identifier=f'{i}')
+                self.logger.log(metrics, 'pretrain')
+        self.logger.finish(self.agent)

@@ -1,0 +1,133 @@
+"""Single-task online RL trainer.
+
+Mirrors the reference loop semantics exactly (reference: tdmpc2/trainer/
+online_trainer.py:9-127): random actions for the first `seed_steps`, a
+`seed_steps`-sized pretraining burst at the first update, then one gradient
+update per environment step; episodes are buffered with a leading bootstrap
+row (NaN action/reward); periodic evaluation with optional video.
+"""
+
+from __future__ import annotations
+
+from time import time
+
+import numpy as np
+
+from tdmpc2_tpu.trainer.base import Trainer
+
+
+class OnlineTrainer(Trainer):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._step = 0
+        self._ep_idx = 0
+        self._start_time = time()
+
+    def common_metrics(self):
+        elapsed = time() - self._start_time
+        return dict(step=self._step, episode=self._ep_idx,
+                    elapsed_time=elapsed,
+                    steps_per_second=self._step / max(elapsed, 1e-9))
+
+    def eval(self):
+        """Evaluate (reference online_trainer.py:28-52)."""
+        rewards, successes, lengths = [], [], []
+        for i in range(self.cfg.eval_episodes):
+            obs, done, ep_reward, t = self.env.reset(), False, 0.0, 0
+            if self.logger.video:
+                self.logger.video.init(self.env, enabled=(i == 0))
+            info = {}
+            while not done:
+                action = self.agent.act(obs, t0=(t == 0), eval_mode=True)
+                obs, reward, done, info = self.env.step(action)
+                ep_reward += reward
+                t += 1
+                if self.logger.video:
+                    self.logger.video.record(self.env)
+            rewards.append(ep_reward)
+            successes.append(info.get('success', 0.0))
+            lengths.append(t)
+            if self.logger.video:
+                self.logger.video.save(self._step)
+        return dict(episode_reward=float(np.nanmean(rewards)),
+                    episode_success=float(np.nanmean(successes)),
+                    episode_length=float(np.nanmean(lengths)))
+
+    def _start_episode(self, obs):
+        """Begin an episode row list with the bootstrap row
+        (reference online_trainer.py:54-72)."""
+        self._ep_obs = [np.asarray(obs)]
+        self._ep_action = [np.full(self.env.action_space.shape, np.nan, np.float32)]
+        self._ep_reward = [np.nan]
+        self._ep_terminated = [np.nan]
+
+    def _record_step(self, obs, action, reward, terminated):
+        self._ep_obs.append(np.asarray(obs))
+        self._ep_action.append(np.asarray(action, np.float32))
+        self._ep_reward.append(float(reward))
+        self._ep_terminated.append(float(terminated))
+
+    def _episode_dict(self):
+        return dict(
+            obs=np.stack(self._ep_obs),
+            action=np.stack(self._ep_action),
+            reward=np.asarray(self._ep_reward, np.float32),
+            terminated=np.asarray(self._ep_terminated, np.float32),
+            valid_rows=len(self._ep_obs))
+
+    def train(self):
+        """Main loop (reference online_trainer.py:74-127)."""
+        cfg = self.cfg
+        train_metrics, done, eval_next = {}, True, False
+        info = {}
+        while self._step <= cfg.steps:
+            if self._step % cfg.eval_freq == 0:
+                eval_next = True
+
+            if done:
+                if eval_next:
+                    eval_metrics = self.eval()
+                    eval_metrics.update(self.common_metrics())
+                    self.logger.log(eval_metrics, 'eval')
+                    eval_next = False
+
+                if self._step > 0:
+                    if info.get('terminated', 0) and not cfg.episodic:
+                        raise ValueError(
+                            'Termination detected but episodic=false. Set '
+                            'episodic=true to enable termination support.')
+                    train_metrics.update(
+                        episode_reward=float(np.nansum(self._ep_reward[1:])),
+                        episode_success=info.get('success', 0.0),
+                        episode_length=len(self._ep_obs) - 1,
+                        episode_terminated=info.get('terminated', 0.0))
+                    train_metrics.update(self.common_metrics())
+                    self.logger.log(train_metrics, 'train')
+                    self._ep_idx = self.buffer.add(self._episode_dict())
+
+                obs = self.env.reset()
+                self._start_episode(obs)
+
+            # collect experience
+            if self._step > cfg.seed_steps:
+                action = self.agent.act(obs, t0=len(self._ep_obs) == 1)
+            else:
+                action = self.env.rand_act()
+            obs, reward, done, info = self.env.step(action)
+            self._record_step(obs, action, reward, info['terminated'])
+
+            # update agent
+            if self._step >= cfg.seed_steps:
+                if self._step == cfg.seed_steps:
+                    num_updates = cfg.seed_steps
+                    print('Pretraining agent on seed data...')
+                else:
+                    num_updates = 1
+                for _ in range(num_updates):
+                    _train_metrics = self.agent.update(self.buffer)
+                train_metrics.update(
+                    {k: float(v) for k, v in _train_metrics.items()})
+
+            self._step += 1
+
+        self.logger.finish(self.agent)

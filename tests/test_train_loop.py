@@ -1,0 +1,86 @@
+"""End-to-end integration: full online training loop on the toy CI env
+(SURVEY.md §4 integration strategy — no physics dependency)."""
+
+import numpy as np
+import pytest
+
+from tdmpc2_tpu.config import Config, parse_cfg
+from tdmpc2_tpu.data.buffer import Buffer
+from tdmpc2_tpu.envs import make_env
+from tdmpc2_tpu.tdmpc2 import TDMPC2
+from tdmpc2_tpu.trainer import OnlineTrainer
+from tdmpc2_tpu.utils.logger import Logger
+
+
+def small_cfg(tmp_path, **kw):
+    cfg = parse_cfg(Config(task='toy-reach'))
+    cfg.steps = 220
+    cfg.eval_freq = 200
+    cfg.eval_episodes = 1
+    cfg.batch_size = 16
+    cfg.enc_dim = 32
+    cfg.mlp_dim = 32
+    cfg.latent_dim = 16
+    cfg.num_q = 2
+    cfg.num_samples = 32
+    cfg.num_elites = 4
+    cfg.num_pi_trajs = 4
+    cfg.iterations = 1
+    cfg.horizon = 3
+    cfg.save_video = False
+    cfg.save_agent = False
+    cfg.work_dir = str(tmp_path)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_online_training_loop_end_to_end(tmp_path):
+    cfg = small_cfg(tmp_path)
+    env = make_env(cfg)
+    assert cfg.obs_shape == {'state': (6,)}
+    assert cfg.action_dim == 2
+    assert cfg.episode_length == 50
+    cfg.seed_steps = 60  # shrink the seed phase for CI
+    agent = TDMPC2(cfg)
+    buffer = Buffer(cfg)
+    logger = Logger(cfg)
+    trainer = OnlineTrainer(cfg=cfg, env=env, agent=agent,
+                            buffer=buffer, logger=logger)
+    trainer.train()
+    assert trainer._step == cfg.steps + 1
+    assert buffer.num_eps >= 3
+    # eval CSV written with the published-results schema
+    csv = (tmp_path / 'eval.csv').read_text().splitlines()
+    assert csv[0] == 'step,episode_reward,episode_success'
+    assert len(csv) >= 2
+    # agent still acts after training
+    a = agent.act(env.reset(), t0=True, eval_mode=True)
+    assert np.all(np.abs(a) <= 1)
+
+
+def test_toy_env_protocol():
+    cfg = parse_cfg(Config(task='toy-reach'))
+    env = make_env(cfg)
+    obs = env.reset()
+    assert obs.shape == (6,) and obs.dtype == np.float32
+    a = env.rand_act()
+    obs2, r, done, info = env.step(a)
+    assert obs2.shape == (6,)
+    assert 0.0 <= r <= 1.0
+    assert not done
+    assert set(info) >= {'success', 'terminated'}
+    # episode terminates exactly at 50 steps
+    env.reset()
+    steps = 0
+    done = False
+    while not done:
+        _, _, done, _ = env.step(env.rand_act())
+        steps += 1
+    assert steps == 50
+
+
+def test_seed_steps_default():
+    cfg = parse_cfg(Config(task='toy-reach'))
+    make_env(cfg)
+    assert cfg.seed_steps == max(1000, 5 * cfg.episode_length)
