@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: planner + update throughput of the default 5M agent on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric is planner throughput (MPPI plans/s, i.e. `act` calls/s with
+the full 6-iteration x 512-sample x horizon-3 planning kernel + host<->device
+action transfer — the per-env-step inference fast path, reference
+tdmpc2/tdmpc2.py:97-120). The reference publishes no throughput numbers
+(SURVEY.md §6); BASELINE.json's target is ">=10x planner throughput per chip"
+vs the reference. We use 40 plans/s as the documented estimate of the
+torch.compile'd reference planner on its unspecified single GPU (derived from
+the common report of ~1M env steps / ~12 h wall for state-based DMControl
+training, which bounds act+update at ~23 steps/s; planning alone is faster).
+`vs_baseline` is plans_per_s / 40 — the >=10x target corresponds to
+vs_baseline >= 10. Secondary numbers (update steps/s) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _make_cfg
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+    cfg = _make_cfg()
+    agent = TDMPC2(cfg)
+    obs_dim = cfg.obs_shape['state'][0]
+    plan = agent._plan_jit[False]
+
+    obs = jnp.zeros((1, obs_dim), jnp.float32)
+    prev_mean = agent.state.prev_mean
+    key = agent.state.key
+    t0 = jnp.asarray(False)
+
+    # -- planner throughput (sequential, state-chained like a real env loop)
+    a, prev_mean, key = plan(agent.state.params, obs, prev_mean, t0, key, None)
+    jax.block_until_ready(a)  # compile
+    n_plan = 300
+    start = time.perf_counter()
+    for _ in range(n_plan):
+        a, prev_mean, key = plan(agent.state.params, obs, prev_mean, t0, key, None)
+    jax.block_until_ready(a)
+    plan_s = time.perf_counter() - start
+    plans_per_s = n_plan / plan_s
+
+    # -- update throughput (batch 256, horizon 3)
+    T, B, A = cfg.horizon, cfg.batch_size, cfg.action_dim
+    rng = np.random.default_rng(0)
+    batch = (
+        jnp.asarray(rng.standard_normal((T + 1, B, obs_dim)), jnp.float32),
+        jnp.asarray(rng.uniform(-1, 1, (T, B, A)), jnp.float32),
+        jnp.asarray(rng.standard_normal((T, B, 1)), jnp.float32),
+        jnp.zeros((T, B, 1), jnp.float32),
+    )
+    state, info = agent._update_jit(agent.state, *batch)
+    jax.block_until_ready(info['total_loss'])  # compile
+    n_upd = 100
+    start = time.perf_counter()
+    for _ in range(n_upd):
+        state, info = agent._update_jit(state, *batch)
+    jax.block_until_ready(info['total_loss'])
+    upd_s = time.perf_counter() - start
+    updates_per_s = n_upd / upd_s
+
+    print(f'planner: {plans_per_s:.1f} plans/s | '
+          f'update: {updates_per_s:.1f} steps/s | '
+          f'device: {jax.devices()[0].platform}', file=sys.stderr)
+
+    baseline_plans_per_s = 40.0  # documented estimate, see module docstring
+    print(json.dumps({
+        'metric': 'planner_plans_per_s',
+        'value': round(plans_per_s, 2),
+        'unit': 'plans/s',
+        'vs_baseline': round(plans_per_s / baseline_plans_per_s, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

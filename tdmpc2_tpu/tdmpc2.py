@@ -64,8 +64,12 @@ def _optim_labels(params):
 class TDMPC2:
     """TD-MPC2 agent. Single- and multi-task, state and pixel observations."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, mesh=None):
         self.cfg = cfg
+        # Optional ('data', 'model') device mesh: the TrainState is
+        # FSDP-sharded over 'model' and update batches are data-parallel over
+        # 'data' (no reference counterpart — the reference is single-device).
+        self.mesh = mesh
         # Heuristic for large action spaces (reference tdmpc2.py:34). The
         # iteration count must be static for the compiled planner.
         cfg.iterations += 2 * int(cfg.action_dim >= 20)
@@ -93,6 +97,9 @@ class TDMPC2:
         )
 
         self.state = self._init_state(jax.random.PRNGKey(cfg.seed))
+        if mesh is not None:
+            from tdmpc2_tpu import parallel
+            self.state = parallel.shard_state(self.state, mesh, min_size=128)
 
         # Compiled entry points. eval_mode is a static branch -> two planner
         # variants (reference lazily torch.compiles _plan, tdmpc2.py:45-55).
@@ -309,6 +316,9 @@ class TDMPC2:
     def update(self, buffer):
         """One model-learning iteration (reference tdmpc2.py:334-349)."""
         batch = buffer.sample()
+        if self.mesh is not None:
+            from tdmpc2_tpu import parallel
+            batch = parallel.shard_batch(batch, self.mesh)
         self.state, info = self._update_jit(self.state, *batch)
         return info
 
