@@ -125,8 +125,10 @@ class OnlineTrainer(Trainer):
                     num_updates = 1
                 for _ in range(num_updates):
                     _train_metrics = self.agent.update(self.buffer)
-                train_metrics.update(
-                    {k: float(v) for k, v in _train_metrics.items()})
+                # keep update metrics as device arrays: float() here would
+                # block on the async update dispatch every step (one extra
+                # host<->device round trip); Logger.log converts lazily.
+                train_metrics.update(_train_metrics)
 
             self._step += 1
 
