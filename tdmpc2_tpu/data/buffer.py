@@ -52,6 +52,7 @@ class Buffer:
         self._storage = None
         self._on_device = None
         self._key = jax.random.PRNGKey(cfg.seed + 0x5EED)
+        self._draws = 0
         self._host_rng = np.random.default_rng(cfg.seed + 0x5EED)
         self._sample_jit = None
         self._add_jit = None
@@ -133,8 +134,8 @@ class Buffer:
             outs = self._add_jit(
                 *[self._storage[k] for k in names],
                 self._ep_rows,
-                *[jnp.asarray(ep[k]) for k in names],
-                jnp.int32(slot), jnp.int32(valid_rows))
+                *[ep[k] for k in names],
+                np.int32(slot), np.int32(valid_rows))
             self._storage = dict(zip(names, outs[:-1]))
             self._ep_rows = outs[-1]
             if self._has_task:
@@ -178,20 +179,23 @@ class Buffer:
         """
         assert self._num_eps > 0, 'Cannot sample from an empty buffer'
         n_filled = min(self._num_eps, self._capacity_eps)
-        self._key, k = jax.random.split(self._key)
+        self._draws += 1
         if self._on_device:
             names = sorted(self._storage)
             batch = self._sample_jit(
                 {k_: self._storage[k_] for k_ in names},
                 self._ep_rows,
                 self._task_store if self._has_task else None,
-                jnp.int32(n_filled), k)
+                np.int32(n_filled), np.int32(self._draws))
         else:
-            batch = self._sample_host(n_filled, k)
+            batch = self._sample_host(n_filled, None)
         return batch
 
-    def _sample_device(self, storage, ep_rows, task_store, n_filled, key):
+    def _sample_device(self, storage, ep_rows, task_store, n_filled, draw):
         T, B = self._horizon, self._batch_size
+        # derive this draw's randomness inside the jit (host keeps only a
+        # counter -> sample() costs exactly one device dispatch)
+        key = jax.random.fold_in(self._key, draw)
         k_ep, k_start = jax.random.split(key)
         ep_idx = jax.random.randint(k_ep, (B,), 0, n_filled)
         max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start

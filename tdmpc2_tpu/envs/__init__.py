@@ -43,9 +43,15 @@ def _make_single_env(cfg):
 
 
 def make_env(cfg):
-    """Make an environment and populate env-derived config fields."""
+    """Make an environment and populate env-derived config fields.
+
+    cfg.num_envs > 1 builds a host-side VecEnv of decorrelated same-task
+    copies for batched collection (single-task online only)."""
     if cfg.multitask:
         env = make_multitask_env(cfg)
+    elif int(cfg.get('num_envs') or 1) > 1:
+        from tdmpc2_tpu.envs.vec import make_vec_env
+        env = make_vec_env(cfg, _make_single_env)
     else:
         env = _make_single_env(cfg)
     obs_space = env.observation_space

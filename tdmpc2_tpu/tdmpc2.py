@@ -103,8 +103,15 @@ class TDMPC2:
 
         # Compiled entry points. eval_mode is a static branch -> two planner
         # variants (reference lazily torch.compiles _plan, tdmpc2.py:45-55).
+        # The vectorized planner vmaps the single-obs MPPI kernel over a
+        # leading env axis (batched actor collection; no reference
+        # counterpart) — jit specializes per batch size, so single-env act
+        # and N-env act each compile once.
         self._plan_jit = {
             em: jax.jit(partial(self._plan, eval_mode=em)) for em in (False, True)}
+        self._plan_vec_jit = {
+            em: jax.jit(partial(self._plan_vec, eval_mode=em))
+            for em in (False, True)}
         self._pi_act_jit = {
             em: jax.jit(partial(self._pi_act, eval_mode=em)) for em in (False, True)}
         self._update_jit = jax.jit(self._update, donate_argnums=0)
@@ -120,7 +127,11 @@ class TDMPC2:
             opt_state=self._model_tx.init(params),
             pi_opt_state=self._pi_tx.init(params['pi']),
             scale=jnp.ones((), jnp.float32),
-            prev_mean=jnp.zeros((self.cfg.horizon, self.cfg.action_dim), jnp.float32),
+            # one warm-start mean per parallel env (leading axis; [1, H, A]
+            # in the reference-equivalent single-env case)
+            prev_mean=jnp.zeros(
+                (max(1, int(self.cfg.get('num_envs') or 1)),
+                 self.cfg.horizon, self.cfg.action_dim), jnp.float32),
             key=kk,
         )
 
@@ -172,20 +183,33 @@ class TDMPC2:
     # ------------------------------------------------------------------ act
 
     def act(self, obs, t0=False, eval_mode=False, task=None):
-        """Select an action by planning in latent space (reference
-        tdmpc2.py:97-120). Host-facing: takes/returns numpy."""
-        obs = jnp.asarray(obs)[None]
+        """Select action(s) by planning in latent space (reference
+        tdmpc2.py:97-120). Host-facing: takes/returns numpy.
+
+        Accepts a single observation (returns one action [A]) or a stacked
+        batch of per-env observations [N, ...] (returns [N, A]) — the batched
+        form plans all envs in one fused device call.
+        """
+        obs = jnp.asarray(obs)
+        obs_rank = len(self.cfg.obs_shape[self.cfg.obs])
+        single = obs.ndim == obs_rank
+        if single:
+            obs = obs[None]
+        n = obs.shape[0]
         task = jnp.asarray([task]) if task is not None else None
+        st = self.state
         if self.cfg.mpc:
-            a, prev_mean, key = self._plan_jit[bool(eval_mode)](
-                self.state.params, obs, self.state.prev_mean,
-                jnp.asarray(bool(t0)), self.state.key, task)
-            self.state = self.state.replace(prev_mean=prev_mean, key=key)
+            # t0 broadcast on the host (numpy) — keeps act() at exactly one
+            # device dispatch; all slicing/scattering happens inside the jit.
+            t0v = np.broadcast_to(np.asarray(t0, bool).reshape(-1), (n,))
+            a, prev_mean, key = self._plan_vec_jit[bool(eval_mode)](
+                st.params, obs, st.prev_mean, t0v, st.key, task)
+            self.state = st.replace(prev_mean=prev_mean, key=key)
         else:
             a, key = self._pi_act_jit[bool(eval_mode)](
-                self.state.params, obs, self.state.key, task)
-            self.state = self.state.replace(key=key)
-        return np.asarray(a)
+                st.params, obs, st.key, task)
+            self.state = st.replace(key=key)
+        return np.asarray(a[0] if single else a)
 
     def _pi_act(self, params, obs, key, task, eval_mode: bool):
         key, k_enc, k_pi, k_next = jax.random.split(key, 4)
@@ -193,7 +217,24 @@ class TDMPC2:
         z = self.model.encode(params, obs, task, key=enc_key)
         action, info = self.model.pi(params, z, k_pi, task)
         a = info['mean'] if eval_mode else action
-        return a[0], k_next
+        return a, k_next
+
+    def _plan_vec(self, params, obs, prev_mean, t0, key, task, eval_mode: bool):
+        """Plan for n envs in one call: vmap the MPPI kernel over the env
+        axis. obs [n, ...], prev_mean [N, H, A] (full state, n <= N),
+        t0 [n] -> (actions [n, A], updated prev_mean [N, H, A], key)."""
+        n = obs.shape[0]
+        keys = jax.random.split(key, n + 1)
+        actions, means, _ = jax.vmap(
+            partial(self._plan, eval_mode=eval_mode),
+            in_axes=(None, 0, 0, 0, 0, None))(
+            params, obs[:, None], prev_mean[:n], t0, keys[:n], task)
+        if n == prev_mean.shape[0]:
+            prev_mean = means
+        else:
+            prev_mean = jax.lax.dynamic_update_slice_in_dim(
+                prev_mean, means, 0, axis=0)
+        return actions, prev_mean, keys[n]
 
     # ------------------------------------------------------------- planning
 

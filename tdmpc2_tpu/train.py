@@ -17,7 +17,7 @@ from tdmpc2_tpu.config import load_cfg
 from tdmpc2_tpu.data.buffer import Buffer
 from tdmpc2_tpu.envs import make_env
 from tdmpc2_tpu.tdmpc2 import TDMPC2
-from tdmpc2_tpu.trainer import OfflineTrainer, OnlineTrainer
+from tdmpc2_tpu.trainer import OfflineTrainer, OnlineTrainer, VecOnlineTrainer
 from tdmpc2_tpu.utils.logger import Logger
 from tdmpc2_tpu.utils.seed import set_seed
 
@@ -29,7 +29,12 @@ def train(cfg):
     agent = TDMPC2(cfg)
     buffer = Buffer(cfg)
     logger = Logger(cfg)
-    cls = OfflineTrainer if cfg.multitask else OnlineTrainer
+    if cfg.multitask:
+        cls = OfflineTrainer
+    elif int(cfg.get('num_envs') or 1) > 1:
+        cls = VecOnlineTrainer
+    else:
+        cls = OnlineTrainer
     trainer = cls(cfg=cfg, env=env, agent=agent, buffer=buffer, logger=logger)
     trainer.train()
     print('Training completed successfully')

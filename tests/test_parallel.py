@@ -1,0 +1,99 @@
+"""Mesh parallelism: sharding rules + a full sharded training step on the
+virtual 8-device CPU mesh (SURVEY.md §4 'Distributed' test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdmpc2_tpu import parallel
+from tdmpc2_tpu.config import Config, parse_cfg
+from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+
+def test_parse_mesh_shape():
+    assert parallel.parse_mesh_shape(None, 8) == (4, 2)
+    assert parallel.parse_mesh_shape(None, 1) == (1, 1)
+    assert parallel.parse_mesh_shape('2x4', 8) == (2, 4)
+    assert parallel.parse_mesh_shape(8, 8) == (8, 1)
+    with pytest.raises(AssertionError):
+        parallel.parse_mesh_shape('2x2', 8)
+
+
+def test_fsdp_sharding_rules():
+    mesh = parallel.make_mesh('2x4')
+    tree = {
+        'big': jnp.zeros((256, 128)),      # 128 % 4 == 0 -> shard axis 0 (largest)
+        'odd': jnp.zeros((3, 7)),          # small -> replicated
+        'vec': jnp.zeros((64,)),           # small (< min_size) -> replicated
+    }
+    sh = parallel.fsdp_sharding(tree, mesh, min_size=1024)
+    assert sh['big'].spec == jax.sharding.PartitionSpec('model', None)
+    assert sh['odd'].spec == jax.sharding.PartitionSpec()
+    assert sh['vec'].spec == jax.sharding.PartitionSpec()
+
+
+def test_shard_batch_layout():
+    mesh = parallel.make_mesh('4x2')
+    obs = jnp.zeros((4, 8, 10))   # [T+1, B, D]
+    task = jnp.zeros((8,), jnp.int32)
+    sobs, stask = parallel.shard_batch((obs, task), mesh)
+    assert sobs.sharding.spec == jax.sharding.PartitionSpec(None, 'data')
+    assert stask.sharding.spec == jax.sharding.PartitionSpec('data')
+
+
+def _tiny_cfg(**kw):
+    cfg = Config(task='walker-walk', batch_size=16, latent_dim=32, mlp_dim=64,
+                 enc_dim=32, num_q=2, num_bins=5, num_samples=16,
+                 num_elites=4, num_pi_trajs=2, iterations=1, horizon=3)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    cfg = parse_cfg(cfg)
+    cfg.obs_shape = {'state': (10,)}
+    cfg.action_dim = 4
+    cfg.episode_length = 100
+    cfg.seed_steps = 100
+    return cfg
+
+
+def test_sharded_update_step_runs_and_matches_single_device():
+    assert len(jax.devices()) >= 8, 'conftest must provide 8 CPU devices'
+    mesh = parallel.make_mesh(devices=jax.devices()[:8])
+    cfg = _tiny_cfg()
+    agent = TDMPC2(cfg, mesh=mesh)
+
+    # params got actually distributed across devices
+    leaves = jax.tree.leaves(agent.state.params)
+    sharded = [l for l in leaves if len(l.sharding.device_set) > 1]
+    assert sharded, 'no parameter leaf was sharded over the mesh'
+
+    T, B = cfg.horizon, cfg.batch_size
+    rng = np.random.default_rng(0)
+    batch = (
+        jnp.asarray(rng.standard_normal((T + 1, B, 10)), jnp.float32),
+        jnp.asarray(rng.uniform(-1, 1, (T, B, 4)), jnp.float32),
+        jnp.asarray(rng.standard_normal((T, B, 1)), jnp.float32),
+        jnp.zeros((T, B, 1), jnp.float32),
+        None,
+    )
+    sbatch = parallel.shard_batch(batch, mesh)
+    with mesh:
+        new_state, info = agent._update_jit(agent.state, *sbatch)
+    sharded_loss = float(info['total_loss'])
+    assert np.isfinite(sharded_loss)
+
+    # numerically equivalent to the unsharded step (same seed, same batch)
+    cfg2 = _tiny_cfg()
+    agent2 = TDMPC2(cfg2)
+    _, info2 = agent2._update_jit(agent2.state, *batch)
+    assert np.isclose(float(info2['total_loss']), sharded_loss,
+                      rtol=1e-4, atol=1e-5)
+
+
+def test_act_with_mesh():
+    mesh = parallel.make_mesh(devices=jax.devices()[:8])
+    agent = TDMPC2(_tiny_cfg(), mesh=mesh)
+    with mesh:
+        a = agent.act(np.zeros(10, np.float32), t0=True)
+    assert a.shape == (4,)
+    assert np.all(np.abs(a) <= 1.0)
