@@ -71,8 +71,9 @@ class TDMPC2:
         # 'data' (no reference counterpart — the reference is single-device).
         self.mesh = mesh
         # Heuristic for large action spaces (reference tdmpc2.py:34). The
-        # iteration count must be static for the compiled planner.
-        cfg.iterations += 2 * int(cfg.action_dim >= 20)
+        # iteration count is static for the compiled planner; kept on the
+        # agent so cfg is not mutated by construction.
+        self.iterations = cfg.iterations + 2 * int(cfg.action_dim >= 20)
         self.model = WorldModel(cfg)
 
         if cfg.multitask:
@@ -343,7 +344,7 @@ class TDMPC2:
                   jnp.zeros((H, E, A), jnp.float32),
                   k_loop)
         mean, std, score, elite_actions, _ = jax.lax.fori_loop(
-            0, cfg.iterations, iteration, carry0)
+            0, self.iterations, iteration, carry0)
 
         # Gumbel-sample one elite trajectory (reference tdmpc2.py:199-204).
         idx = math.gumbel_softmax_sample(k_gumbel, score[:, 0])

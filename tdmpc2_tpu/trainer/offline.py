@@ -92,8 +92,7 @@ class OfflineTrainer(Trainer):
 
     def train(self):
         """Offline training loop (reference offline_trainer.py:67-94)."""
-        assert self.cfg.multitask and self.cfg.task in {'mt30', 'mt80'}, \
-            'Offline training supports the mt30/mt80 task sets.'
+        assert self.cfg.multitask, 'Offline training requires a multitask cfg.'
         self._load_dataset()
 
         print(f'Training agent for {self.cfg.steps} iterations...')

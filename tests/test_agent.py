@@ -58,7 +58,7 @@ def test_discount_heuristic(agent):
 def test_iterations_heuristic():
     cfg = make_cfg(action_dim=24, iterations=6)
     a = TDMPC2(cfg)
-    assert a.cfg.iterations == 8  # +2 for action_dim >= 20 (tdmpc2.py:34)
+    assert a.iterations == 8  # +2 for action_dim >= 20 (tdmpc2.py:34)
 
 
 def test_act_plan_bounds_and_state(agent):
