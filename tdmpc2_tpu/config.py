@@ -141,6 +141,9 @@ class Config:
     # parallelism (no reference counterpart; TPU-native additions)
     mesh_shape: Optional[str] = None     # e.g. "4x2" -> (data=4, model=2); None = single device
     param_dtype: str = 'float32'
+    # fused Pallas planner-rollout kernel (auto-gated: TPU backend +
+    # single-task + non-episodic; falls back to the XLA scan otherwise)
+    use_pallas: bool = True
     # number of parallel env copies for vectorized online data collection
     num_envs: int = 1
 

@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused MPPI value-estimation rollout.
+
+The planner's hot inner loop (reference: tdmpc2/tdmpc2.py:122-136, compiled
+as scan-of-matmuls in `TDMPC2._estimate_value`) evaluates, for every one of
+S sampled action sequences and each of H horizon steps, a reward MLP and a
+dynamics MLP over the latent. Under XLA each matmul streams its weights from
+HBM every step, so the rollout is weight-bandwidth-bound: ~8 MB of MLP
+weights re-read H times per CEM iteration. This kernel keeps BOTH MLPs'
+weights (and all activations) resident in VMEM for the entire horizon,
+turning the rollout into a single MXU-bound program.
+
+TPU-native formulation choices:
+- no in-kernel concat: the first layer's matmul is split as
+  x@W = z@Wz + a@Wa (two dots), so z and a never need to be joined.
+- SimNorm (grouped softmax) without reshapes: for a per-row constant shift c,
+  exp(x-c)/groupsum(exp(x-c)) equals the grouped softmax exactly, and the
+  group sums are one matmul with a block-diagonal 0/1 mask — all MXU/VPU ops,
+  no layout-hostile [S, L/g, g] reshapes.
+- two-hot decode in-kernel: softmax over bins fused with the symexp-weighted
+  bin sum.
+
+Inference-only (the planner takes no gradients); the training update keeps
+the XLA path. Falls back to interpreter mode off-TPU so tests run on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _ln(x, w, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _rollout_kernel(
+    z0_ref, actions_ref,
+    dWz_ref, dWa_ref, db0_ref, dg0_ref, de0_ref,
+    dW1_ref, db1_ref, dg1_ref, de1_ref,
+    dW2_ref, db2_ref, dg2_ref, de2_ref,
+    rWz_ref, rWa_ref, rb0_ref, rg0_ref, re0_ref,
+    rW1_ref, rb1_ref, rg1_ref, re1_ref,
+    rW2_ref, rb2_ref,
+    bins_ref, gmask_ref,
+    G_ref, zH_ref,
+    *, horizon: int, discount: float, dot_dtype,
+):
+    f32 = jnp.float32
+
+    def dot(x, w_ref):
+        # weights arrive pre-cast to dot_dtype (bf16 on the fast path, the
+        # same single-pass MXU precision XLA uses for f32 matmuls by
+        # default); accumulation is always f32.
+        return jnp.dot(x.astype(dot_dtype), w_ref[:],
+                       preferred_element_type=f32)
+
+    z = z0_ref[:]                                     # [S, L]
+    G = jnp.zeros((z.shape[0], 128), f32)             # lane-padded accumulator
+    disc = 1.0
+
+    for t in range(horizon):
+        a = actions_ref[t]                            # [S, A]
+
+        # -- reward head: NormedLinear x2 (mish) -> Linear -> two-hot decode
+        u = dot(z, rWz_ref) + dot(a, rWa_ref) + rb0_ref[:]
+        u = _mish(_ln(u, rg0_ref[:], re0_ref[:]))
+        u = dot(u, rW1_ref) + rb1_ref[:]
+        u = _mish(_ln(u, rg1_ref[:], re1_ref[:]))
+        logits = dot(u, rW2_ref) + rb2_ref[:]         # [S, B]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        r_symlog = (jnp.sum(e * bins_ref[:], axis=-1, keepdims=True)
+                    / jnp.sum(e, axis=-1, keepdims=True))
+        r = jnp.sign(r_symlog) * jnp.expm1(jnp.abs(r_symlog))  # symexp
+
+        G = G + disc * r                              # broadcast over lanes
+        disc = disc * discount
+
+        # -- dynamics: NormedLinear x2 (mish) -> NormedLinear -> SimNorm
+        v = dot(z, dWz_ref) + dot(a, dWa_ref) + db0_ref[:]
+        v = _mish(_ln(v, dg0_ref[:], de0_ref[:]))
+        v = dot(v, dW1_ref) + db1_ref[:]
+        v = _mish(_ln(v, dg1_ref[:], de1_ref[:]))
+        v = dot(v, dW2_ref) + db2_ref[:]
+        v = _ln(v, dg2_ref[:], de2_ref[:])
+        # grouped softmax via block-diagonal mask matmul (exact)
+        mv = jnp.max(v, axis=-1, keepdims=True)
+        ev = jnp.exp(v - mv)
+        denom = dot(ev, gmask_ref)
+        z = ev / denom
+
+    G_ref[:] = G
+    zH_ref[:] = z
+
+
+def _as_row(x):
+    return x.reshape(1, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('horizon', 'discount', 'simnorm_dim',
+                              'vmin', 'vmax', 'interpret', 'dot_dtype'))
+def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
+                        discount: float, simnorm_dim: int, vmin: float,
+                        vmax: float, interpret: bool = False,
+                        dot_dtype=jnp.bfloat16):
+    """Fused H-step latent return rollout.
+
+    dyn/rew: 3-layer MLP param tuples (layers.mlp_init layout); z0 [S, L];
+    actions [H, S, A]. Returns (G [S, 1], zH [S, L]).
+    """
+    S, L = z0.shape
+    A = actions.shape[-1]
+    B = rew[2]['w'].shape[-1]
+
+    bins = jnp.linspace(vmin, vmax, B, dtype=jnp.float32)
+    gmask = jnp.kron(jnp.eye(L // simnorm_dim, dtype=jnp.float32),
+                     jnp.ones((simnorm_dim, simnorm_dim), jnp.float32))
+
+    def w(x):  # weight matrices feed the MXU in the compute dtype
+        return x.astype(dot_dtype)
+
+    args = (
+        z0, actions,
+        w(dyn[0]['w'][:L]), w(dyn[0]['w'][L:]), _as_row(dyn[0]['b']),
+        _as_row(dyn[0]['ln_w']), _as_row(dyn[0]['ln_b']),
+        w(dyn[1]['w']), _as_row(dyn[1]['b']),
+        _as_row(dyn[1]['ln_w']), _as_row(dyn[1]['ln_b']),
+        w(dyn[2]['w']), _as_row(dyn[2]['b']),
+        _as_row(dyn[2]['ln_w']), _as_row(dyn[2]['ln_b']),
+        w(rew[0]['w'][:L]), w(rew[0]['w'][L:]), _as_row(rew[0]['b']),
+        _as_row(rew[0]['ln_w']), _as_row(rew[0]['ln_b']),
+        w(rew[1]['w']), _as_row(rew[1]['b']),
+        _as_row(rew[1]['ln_w']), _as_row(rew[1]['ln_b']),
+        w(rew[2]['w']), _as_row(rew[2]['b']),
+        _as_row(bins), w(gmask),
+    )
+    kernel = functools.partial(
+        _rollout_kernel, horizon=horizon, discount=float(discount),
+        dot_dtype=dot_dtype)
+    G, zH = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((S, L), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return G[:, :1], zH
+
+
+def rollout_supported(cfg) -> bool:
+    """Static gate: the fused kernel covers the single-task, non-episodic,
+    two-hot (num_bins>1) planner configuration."""
+    return (not cfg.multitask and not cfg.episodic
+            and cfg.num_bins > 1 and cfg.latent_dim % cfg.simnorm_dim == 0)

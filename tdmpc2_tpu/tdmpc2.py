@@ -76,6 +76,14 @@ class TDMPC2:
         self.iterations = cfg.iterations + 2 * int(cfg.action_dim >= 20)
         self.model = WorldModel(cfg)
 
+        # Fused Pallas rollout for the planner's value estimate: keeps the
+        # dynamics+reward MLP weights VMEM-resident across the horizon
+        # (ops/pallas_rollout.py). TPU-only; XLA scan fallback otherwise.
+        from tdmpc2_tpu.ops.pallas_rollout import rollout_supported
+        self._fused_rollout = bool(
+            cfg.get('use_pallas', True) and rollout_supported(cfg)
+            and jax.default_backend() == 'tpu')
+
         if cfg.multitask:
             self.discount = jnp.asarray(
                 [self._get_discount(l) for l in cfg.episode_lengths],
@@ -245,6 +253,18 @@ class TDMPC2:
         z: [S, L]; actions: [H, S, A] -> value [S, 1].
         """
         cfg = self.cfg
+        if self._fused_rollout:
+            from tdmpc2_tpu.ops.pallas_rollout import fused_value_rollout
+            G, zH = fused_value_rollout(
+                params['dynamics'], params['reward'], z, actions,
+                horizon=cfg.horizon, discount=float(self.discount),
+                simnorm_dim=cfg.simnorm_dim, vmin=cfg.vmin, vmax=cfg.vmax)
+            k_pi, k_q = jax.random.split(key)
+            action, _ = self.model.pi(params, zH, k_pi, task)
+            q = self.model.Q(params, zH, action, key=k_q, task=task,
+                             return_type='avg')
+            return G + (float(self.discount) ** cfg.horizon) * q
+
         discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
 
         def step(carry, a_t):
