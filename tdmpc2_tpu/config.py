@@ -147,6 +147,13 @@ class Config:
     # number of parallel env copies for vectorized online data collection
     num_envs: int = 1
 
+    # fault tolerance / observability (no reference counterpart)
+    resume: bool = False            # resume online training from the latest
+                                    # full-state checkpoint in work_dir
+    profiler_port: Optional[int] = None  # jax.profiler trace server port
+    profile_dir: Optional[str] = None    # write a program trace of the first
+                                         # post-warmup updates here
+
     # logging
     wandb_project: Optional[str] = None
     wandb_entity: Optional[str] = None

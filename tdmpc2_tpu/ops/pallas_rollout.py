@@ -82,7 +82,9 @@ def _rollout_kernel(
         e = jnp.exp(logits - m)
         r_symlog = (jnp.sum(e * bins_ref[:], axis=-1, keepdims=True)
                     / jnp.sum(e, axis=-1, keepdims=True))
-        r = jnp.sign(r_symlog) * jnp.expm1(jnp.abs(r_symlog))  # symexp
+        # symexp; exp(x)-1 instead of expm1 (not lowered by Mosaic) — the
+        # absolute error near 0 is ~1e-7, irrelevant at planner precision
+        r = jnp.sign(r_symlog) * (jnp.exp(jnp.abs(r_symlog)) - 1.0)
 
         G = G + disc * r                              # broadcast over lanes
         disc = disc * discount
@@ -108,22 +110,16 @@ def _as_row(x):
     return x.reshape(1, -1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=('horizon', 'discount', 'simnorm_dim',
-                              'vmin', 'vmax', 'interpret', 'dot_dtype'))
-def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
-                        discount: float, simnorm_dim: int, vmin: float,
-                        vmax: float, interpret: bool = False,
-                        dot_dtype=jnp.bfloat16):
-    """Fused H-step latent return rollout.
+def prepare_rollout_params(dyn, rew, latent_dim: int, simnorm_dim: int,
+                           vmin: float, vmax: float, dot_dtype=jnp.bfloat16):
+    """Pre-slice/cast the kernel's weight operands.
 
-    dyn/rew: 3-layer MLP param tuples (layers.mlp_init layout); z0 [S, L];
-    actions [H, S, A]. Returns (G [S, 1], zH [S, L]).
+    Weights change only at update time; preparing them once per plan (or
+    once per update) keeps the per-CEM-iteration kernel call free of cast/
+    kron work.
     """
-    S, L = z0.shape
-    A = actions.shape[-1]
+    L = latent_dim
     B = rew[2]['w'].shape[-1]
-
     bins = jnp.linspace(vmin, vmax, B, dtype=jnp.float32)
     gmask = jnp.kron(jnp.eye(L // simnorm_dim, dtype=jnp.float32),
                      jnp.ones((simnorm_dim, simnorm_dim), jnp.float32))
@@ -131,8 +127,7 @@ def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
     def w(x):  # weight matrices feed the MXU in the compute dtype
         return x.astype(dot_dtype)
 
-    args = (
-        z0, actions,
+    return (
         w(dyn[0]['w'][:L]), w(dyn[0]['w'][L:]), _as_row(dyn[0]['b']),
         _as_row(dyn[0]['ln_w']), _as_row(dyn[0]['ln_b']),
         w(dyn[1]['w']), _as_row(dyn[1]['b']),
@@ -146,21 +141,76 @@ def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
         w(rew[2]['w']), _as_row(rew[2]['b']),
         _as_row(bins), w(gmask),
     )
+
+
+def rollout_prepared(prep, z0, actions, *, horizon: int, discount: float,
+                     dot_dtype=jnp.bfloat16, interpret: bool = False,
+                     block_s: int = 128):
+    """Run the fused rollout with pre-prepared weights (trace-time helper;
+    call inside a jitted planner).
+
+    The sample axis is grid-blocked (`block_s` rows per program) so Mosaic
+    pipelines one block's VPU epilogues against the next block's MXU work;
+    weight operands use a constant index map and stay VMEM-resident across
+    the whole grid.
+    """
+    S, L = z0.shape
+    H, _, A = actions.shape
+    args = (z0, actions) + tuple(prep)
     kernel = functools.partial(
         _rollout_kernel, horizon=horizon, discount=float(discount),
         dot_dtype=dot_dtype)
+
+    if S % block_s != 0:
+        block_s = S  # fall back to a single program
+
+    def const_spec(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((block_s, L), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, block_s, A), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [const_spec(p) for p in prep]
+
     G, zH = pl.pallas_call(
         kernel,
+        grid=(S // block_s,),
         out_shape=(jax.ShapeDtypeStruct((S, 128), jnp.float32),
                    jax.ShapeDtypeStruct((S, L), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_s, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return G[:, :1], zH
+
+
+@functools.partial(
+    jax.jit, static_argnames=('horizon', 'discount', 'simnorm_dim',
+                              'vmin', 'vmax', 'interpret', 'dot_dtype'))
+def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
+                        discount: float, simnorm_dim: int, vmin: float,
+                        vmax: float, interpret: bool = False,
+                        dot_dtype=jnp.bfloat16):
+    """Fused H-step latent return rollout (one-shot convenience wrapper).
+
+    dyn/rew: 3-layer MLP param tuples (layers.mlp_init layout); z0 [S, L];
+    actions [H, S, A]. Returns (G [S, 1], zH [S, L]).
+    """
+    prep = prepare_rollout_params(dyn, rew, z0.shape[-1],
+                                  simnorm_dim, vmin, vmax, dot_dtype)
+    return rollout_prepared(prep, z0, actions, horizon=horizon,
+                            discount=discount, dot_dtype=dot_dtype,
+                            interpret=interpret)
 
 
 def rollout_supported(cfg) -> bool:

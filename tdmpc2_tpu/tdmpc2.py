@@ -157,22 +157,28 @@ class TDMPC2:
 
     # ------------------------------------------------------------ checkpoints
 
-    def save(self, fp):
+    def save(self, fp, extra: Optional[dict] = None):
         """Save agent state (reference tdmpc2.py:72-79 saves model weights
-        only; we save the full train state so runs are resumable)."""
+        only; we save the full train state — params, target Q, both optimizer
+        states, running scale, PRNG key — plus optional trainer metadata
+        (`extra`, e.g. step counters) so runs are preemption-resumable."""
         blob = jax.tree.map(np.asarray, {
             'model': self.state.params,
             'target_Qs': self.state.target_Qs,
             'opt_state': self.state.opt_state,
             'pi_opt_state': self.state.pi_opt_state,
             'scale': self.state.scale,
+            'key': self.state.key,
         })
+        if extra:
+            blob['extra'] = dict(extra)
         Path(fp).parent.mkdir(parents=True, exist_ok=True)
         with open(fp, 'wb') as f:
             pickle.dump(blob, f)
 
-    def load(self, fp):
-        """Load agent state from a filepath or dict (reference tdmpc2.py:81-95)."""
+    def load(self, fp) -> dict:
+        """Load agent state from a filepath or dict (reference
+        tdmpc2.py:81-95). Returns the checkpoint's `extra` metadata dict."""
         if isinstance(fp, dict):
             blob = fp
         else:
@@ -187,7 +193,10 @@ class TDMPC2:
             updates['opt_state'] = jax.tree.map(jnp.asarray, blob['opt_state'])
             updates['pi_opt_state'] = jax.tree.map(jnp.asarray, blob['pi_opt_state'])
             updates['scale'] = jnp.asarray(blob['scale'])
+        if 'key' in blob:
+            updates['key'] = jnp.asarray(blob['key'])
         self.state = st.replace(**updates)
+        return blob.get('extra', {})
 
     # ------------------------------------------------------------------ act
 
@@ -247,18 +256,22 @@ class TDMPC2:
 
     # ------------------------------------------------------------- planning
 
-    def _estimate_value(self, params, z, actions, key, task):
+    def _estimate_value(self, params, z, actions, key, task, prep=None):
         """H-step latent return estimate (reference tdmpc2.py:122-136).
 
         z: [S, L]; actions: [H, S, A] -> value [S, 1].
         """
         cfg = self.cfg
         if self._fused_rollout:
-            from tdmpc2_tpu.ops.pallas_rollout import fused_value_rollout
-            G, zH = fused_value_rollout(
-                params['dynamics'], params['reward'], z, actions,
-                horizon=cfg.horizon, discount=float(self.discount),
-                simnorm_dim=cfg.simnorm_dim, vmin=cfg.vmin, vmax=cfg.vmax)
+            from tdmpc2_tpu.ops.pallas_rollout import (prepare_rollout_params,
+                                                       rollout_prepared)
+            if prep is None:
+                prep = prepare_rollout_params(
+                    params['dynamics'], params['reward'], cfg.latent_dim,
+                    cfg.simnorm_dim, cfg.vmin, cfg.vmax)
+            G, zH = rollout_prepared(
+                prep, z, actions,
+                horizon=cfg.horizon, discount=float(self.discount))
             k_pi, k_q = jax.random.split(key)
             action, _ = self.model.pi(params, zH, k_pi, task)
             q = self.model.Q(params, zH, action, key=k_q, task=task,
@@ -315,6 +328,16 @@ class TDMPC2:
             _, pi_actions = jax.lax.scan(
                 pi_step, zp, jax.random.split(k_pi_roll, H))  # [H, n_pi, A]
 
+        # pre-cast/slice the fused-rollout weights once per plan, outside
+        # the CEM loop (weights are loop-invariant)
+        if self._fused_rollout:
+            from tdmpc2_tpu.ops.pallas_rollout import prepare_rollout_params
+            prep = prepare_rollout_params(
+                params['dynamics'], params['reward'], cfg.latent_dim,
+                cfg.simnorm_dim, cfg.vmin, cfg.vmax)
+        else:
+            prep = None
+
         z = jnp.broadcast_to(z0, (S, z0.shape[-1]))
         mean0 = jnp.where(
             t0,
@@ -339,7 +362,8 @@ class TDMPC2:
             if a_mask is not None:
                 actions = actions * a_mask
 
-            value = self._estimate_value(params, z, actions, k_v, task)  # [S,1]
+            value = self._estimate_value(
+                params, z, actions, k_v, task, prep)  # [S,1]
             value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
             elite_value, elite_idx = jax.lax.top_k(value[:, 0], E)
             elite_actions = actions[:, elite_idx]           # [H, E, A]

@@ -24,6 +24,11 @@ from tdmpc2_tpu.utils.seed import set_seed
 
 def train(cfg):
     assert cfg.steps > 0, 'Must train for at least 1 step.'
+    if cfg.profiler_port:
+        # live trace server: connect with TensorBoard / xprof
+        # (TPU-native observability; the reference has none, SURVEY.md §5.1)
+        import jax
+        jax.profiler.start_server(int(cfg.profiler_port))
     set_seed(cfg.seed)
     env = make_env(cfg)
     agent = TDMPC2(cfg)

@@ -75,9 +75,33 @@ class OnlineTrainer(Trainer):
             terminated=np.asarray(self._ep_terminated, np.float32),
             valid_rows=len(self._ep_obs))
 
+    def maybe_resume(self):
+        """Resume from the latest full-state checkpoint (no reference
+        counterpart — the reference cannot resume training, SURVEY.md §5.4).
+        Restores params/optimizers/scale/RNG and the step counters; replay
+        contents are re-collected (the buffer is not checkpointed)."""
+        if not self.cfg.resume:
+            return
+        from pathlib import Path
+        fp = Path(self.cfg.work_dir) / 'models' / 'latest.pkl'
+        if not fp.exists():
+            print('resume=true but no checkpoint found; starting fresh.')
+            return
+        extra = self.agent.load(str(fp))
+        self._step = int(extra.get('step', 0))
+        self._ep_idx = int(extra.get('ep_idx', 0))
+        self._resumed = True
+        print(f'Resumed from {fp} at step {self._step:,}.')
+
+    def _checkpoint(self):
+        self.logger.save_agent(
+            self.agent, identifier='latest',
+            extra=dict(step=self._step, ep_idx=self._ep_idx))
+
     def train(self):
         """Main loop (reference online_trainer.py:74-127)."""
         cfg = self.cfg
+        self.maybe_resume()
         train_metrics, done, eval_next = {}, True, False
         info = {}
         while self._step <= cfg.steps:
@@ -90,8 +114,9 @@ class OnlineTrainer(Trainer):
                     eval_metrics.update(self.common_metrics())
                     self.logger.log(eval_metrics, 'eval')
                     eval_next = False
+                    self._checkpoint()
 
-                if self._step > 0:
+                if self._step > 0 and hasattr(self, '_ep_obs'):
                     if info.get('terminated', 0) and not cfg.episodic:
                         raise ValueError(
                             'Termination detected but episodic=false. Set '
@@ -117,14 +142,25 @@ class OnlineTrainer(Trainer):
             self._record_step(obs, action, reward, info['terminated'])
 
             # update agent
-            if self._step >= cfg.seed_steps:
-                if self._step == cfg.seed_steps:
+            if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
+                if self._step == cfg.seed_steps and not getattr(
+                        self, '_resumed', False):
                     num_updates = cfg.seed_steps
                     print('Pretraining agent on seed data...')
                 else:
                     num_updates = 1
-                for _ in range(num_updates):
-                    _train_metrics = self.agent.update(self.buffer)
+                if cfg.profile_dir and num_updates == 1 and not getattr(
+                        self, '_profiled', False):
+                    # one-shot post-warmup device trace (open in TensorBoard)
+                    self._profiled = True
+                    import jax
+                    with jax.profiler.trace(cfg.profile_dir):
+                        for _ in range(10):
+                            _train_metrics = self.agent.update(self.buffer)
+                        jax.block_until_ready(_train_metrics['total_loss'])
+                else:
+                    for _ in range(num_updates):
+                        _train_metrics = self.agent.update(self.buffer)
                 # keep update metrics as device arrays: float() here would
                 # block on the async update dispatch every step (one extra
                 # host<->device round trip); Logger.log converts lazily.

@@ -158,12 +158,12 @@ class Logger:
         print('-' * 40)
         return float(np.nanmean(scores)) if scores else 0.0
 
-    def save_agent(self, agent, identifier: str = 'final'):
+    def save_agent(self, agent, identifier: str = 'final', extra=None):
         if not self.cfg.save_agent:
             return None
         self._model_dir.mkdir(parents=True, exist_ok=True)
         fp = self._model_dir / f'{identifier}.pkl'
-        agent.save(fp)
+        agent.save(fp, extra=extra)
         return fp
 
     def finish(self, agent=None):
