@@ -64,9 +64,24 @@ class PointMassEnv(Env):
         return img
 
 
+class EpisodicPointMassEnv(PointMassEnv):
+    """Episodic variant: terminates on reaching the goal (exercises the
+    terminated-bootstrap path, reference envs/mujoco.py:24-31 analogue)."""
+
+    def step(self, action):
+        obs, reward, done, info = super().step(action)
+        if info['success']:
+            info['terminated'] = 1.0
+            done = True
+        return obs, reward, done, info
+
+
 def make_env(cfg):
-    if cfg.task not in ('toy-reach', 'toy'):
+    if cfg.task not in ('toy-reach', 'toy', 'toy-reach-episodic'):
         raise ValueError('Unknown task:', cfg.task)
-    env = PointMassEnv(seed=cfg.seed)
+    if cfg.task == 'toy-reach-episodic':
+        env = EpisodicPointMassEnv(seed=cfg.seed)
+    else:
+        env = PointMassEnv(seed=cfg.seed)
     env = Timeout(env, max_episode_steps=50)
     return NormalizeInfo(env)

@@ -34,6 +34,7 @@ from flax import struct
 
 from tdmpc2_tpu.models.world_model import WorldModel
 from tdmpc2_tpu.ops import math
+from tdmpc2_tpu.ops import scale as scale_ops
 
 
 @struct.dataclass
@@ -505,10 +506,7 @@ class TDMPC2:
                                  dropout_key=k_pi_drop)
             # running-scale update on the t=0 slice (reference scale.py:39-42,
             # tdmpc2.py:221-222); the scale itself is not differentiated.
-            p5, p95 = math.percentile_range(qs_pi[0])
-            rng = jnp.maximum(p95[0] - p5[0], 1.0)
-            new_scale = state.scale + cfg.tau * (rng - state.scale)
-            new_scale = jax.lax.stop_gradient(new_scale)
+            new_scale = scale_ops.update_scale(state.scale, qs_pi[0], cfg.tau)
             qs_scaled = qs_pi / new_scale
             pi_loss = jnp.mean(
                 -jnp.mean(cfg.entropy_coef * info['scaled_entropy'] + qs_scaled,

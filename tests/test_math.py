@@ -113,3 +113,17 @@ def test_termination_statistics():
     assert float(stats['termination_rate']) == pytest.approx(0.5)
     # tp=1, fn=1, fp=1 -> precision=0.5, recall=0.5, f1=0.5
     assert float(stats['termination_f1']) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_running_scale_update():
+    """ops/scale.py: EMA toward the 5-95 percentile range, floored at 1
+    (reference common/scale.py:21-42)."""
+    import jax.numpy as jnp
+    from tdmpc2_tpu.ops.scale import update_scale
+    qs = jnp.linspace(0.0, 100.0, 101)[:, None]  # p95-p5 = 90
+    s0 = jnp.asarray(1.0)
+    s1 = update_scale(s0, qs, tau=0.01)
+    assert np.isclose(float(s1), 1.0 + 0.01 * (90.0 - 1.0))
+    # floor at 1 for degenerate ranges
+    s2 = update_scale(jnp.asarray(5.0), jnp.zeros((16, 1)), tau=0.5)
+    assert np.isclose(float(s2), 5.0 + 0.5 * (1.0 - 5.0))

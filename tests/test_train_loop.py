@@ -84,3 +84,28 @@ def test_seed_steps_default():
     cfg = parse_cfg(Config(task='toy-reach'))
     make_env(cfg)
     assert cfg.seed_steps == max(1000, 5 * cfg.episode_length)
+
+
+def test_episodic_training_loop(tmp_path):
+    """Trainer-level episodic path: early termination feeds the termination
+    head and variable-length episodes reach the buffer (reference
+    online_trainer.py:90-101 episodic semantics)."""
+    cfg = parse_cfg(Config(
+        task='toy-reach-episodic', episodic=True, batch_size=8,
+        latent_dim=16, mlp_dim=32, enc_dim=32, num_q=2, num_bins=5,
+        num_samples=16, num_elites=4, num_pi_trajs=2, iterations=1,
+        horizon=3, steps=260, eval_freq=1000, eval_episodes=1,
+        save_agent=False, save_csv=False))
+    cfg.work_dir = str(tmp_path)
+    env = make_env(cfg)
+    cfg.seed_steps = 150
+    agent = TDMPC2(cfg)
+    assert 'termination' in agent.state.params
+    buffer = Buffer(cfg)
+    logger = Logger(cfg)
+    OnlineTrainer(cfg=cfg, env=env, agent=agent, buffer=buffer,
+                  logger=logger).train()
+    assert buffer.num_eps >= 3
+    batch = buffer.sample()
+    term = np.asarray(batch[3])
+    assert np.isfinite(term).all() and term.min() >= 0.0
