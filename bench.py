@@ -37,20 +37,23 @@ def main():
     plan = agent._plan_jit[False]
 
     obs = jnp.zeros((1, obs_dim), jnp.float32)
-    prev_mean = agent.state.prev_mean
+    prev_mean = agent.state.prev_mean[0]
     key = agent.state.key
     t0 = jnp.asarray(False)
 
-    # -- planner throughput (sequential, state-chained like a real env loop)
+    # -- planner throughput (sequential, state-chained like a real env loop;
+    #    best of several trials to reject tunnel-latency noise)
     a, prev_mean, key = plan(agent.state.params, obs, prev_mean, t0, key, None)
     jax.block_until_ready(a)  # compile
-    n_plan = 300
-    start = time.perf_counter()
-    for _ in range(n_plan):
-        a, prev_mean, key = plan(agent.state.params, obs, prev_mean, t0, key, None)
-    jax.block_until_ready(a)
-    plan_s = time.perf_counter() - start
-    plans_per_s = n_plan / plan_s
+    n_plan, trials = 200, 4
+    plans_per_s = 0.0
+    for _ in range(trials):
+        start = time.perf_counter()
+        for _ in range(n_plan):
+            a, prev_mean, key = plan(
+                agent.state.params, obs, prev_mean, t0, key, None)
+        jax.block_until_ready(a)
+        plans_per_s = max(plans_per_s, n_plan / (time.perf_counter() - start))
 
     # -- update throughput (batch 256, horizon 3)
     T, B, A = cfg.horizon, cfg.batch_size, cfg.action_dim
@@ -64,12 +67,13 @@ def main():
     state, info = agent._update_jit(agent.state, *batch)
     jax.block_until_ready(info['total_loss'])  # compile
     n_upd = 100
-    start = time.perf_counter()
-    for _ in range(n_upd):
-        state, info = agent._update_jit(state, *batch)
-    jax.block_until_ready(info['total_loss'])
-    upd_s = time.perf_counter() - start
-    updates_per_s = n_upd / upd_s
+    updates_per_s = 0.0
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(n_upd):
+            state, info = agent._update_jit(state, *batch)
+        jax.block_until_ready(info['total_loss'])
+        updates_per_s = max(updates_per_s, n_upd / (time.perf_counter() - start))
 
     print(f'planner: {plans_per_s:.1f} plans/s | '
           f'update: {updates_per_s:.1f} steps/s | '

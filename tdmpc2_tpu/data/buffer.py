@@ -188,8 +188,40 @@ class Buffer:
                 self._task_store if self._has_task else None,
                 np.int32(n_filled), np.int32(self._draws))
         else:
-            batch = self._sample_host(n_filled, None)
+            batch = self._sample_host_prefetched(n_filled)
         return batch
+
+    # Host-storage pipelining: a daemon thread keeps a small queue of
+    # gathered+device_put batches so the learner never waits on the numpy
+    # gather or the H2D copy (the reference's CPU-storage fallback has no
+    # pipelining, buffer.py:62; SURVEY.md §7 'mt80 ... async device
+    # prefetch'). Uniform sampling tolerates the queue's slight staleness
+    # w.r.t. concurrent adds.
+    def _sample_host_prefetched(self, n_filled):
+        import queue
+        import threading
+        if getattr(self, '_prefetch_q', None) is None:
+            self._prefetch_q = queue.Queue(maxsize=2)
+            self._prefetch_stop = threading.Event()
+
+            def worker():
+                while not self._prefetch_stop.is_set():
+                    nf = min(self._num_eps, self._capacity_eps)
+                    batch = self._sample_host(nf, None)
+                    while not self._prefetch_stop.is_set():
+                        try:
+                            self._prefetch_q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+
+            self._prefetch_thread = threading.Thread(target=worker, daemon=True)
+            self._prefetch_thread.start()
+        return self._prefetch_q.get()
+
+    def close(self):
+        if getattr(self, '_prefetch_q', None) is not None:
+            self._prefetch_stop.set()
 
     def _sample_device(self, storage, ep_rows, task_store, n_filled, draw):
         T, B = self._horizon, self._batch_size
