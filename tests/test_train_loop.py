@@ -109,3 +109,29 @@ def test_episodic_training_loop(tmp_path):
     batch = buffer.sample()
     term = np.asarray(batch[3])
     assert np.isfinite(term).all() and term.min() >= 0.0
+
+
+def test_evaluate_cli_roundtrip(tmp_path):
+    """evaluate.py: checkpoint -> greedy eval episodes (reference
+    evaluate.py:20-99)."""
+    from tdmpc2_tpu.evaluate import evaluate
+    cfg = parse_cfg(Config(
+        task='toy-reach', batch_size=8, latent_dim=16, mlp_dim=32,
+        enc_dim=32, num_q=2, num_bins=5, num_samples=16, num_elites=4,
+        num_pi_trajs=2, iterations=1, horizon=3, eval_episodes=2,
+        save_csv=False, save_agent=True))
+    cfg.work_dir = str(tmp_path)
+    env = make_env(cfg)
+    agent = TDMPC2(cfg)
+    fp = tmp_path / 'agent.pkl'
+    agent.save(fp)
+
+    cfg2 = parse_cfg(Config(
+        task='toy-reach', batch_size=8, latent_dim=16, mlp_dim=32,
+        enc_dim=32, num_q=2, num_bins=5, num_samples=16, num_elites=4,
+        num_pi_trajs=2, iterations=1, horizon=3, eval_episodes=2,
+        checkpoint=str(fp), save_csv=False))
+    results = evaluate(cfg2)
+    (r, s), = results.values()
+    assert np.isfinite(r)
+    assert 0.0 <= s <= 1.0
