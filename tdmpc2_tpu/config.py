@@ -140,7 +140,9 @@ class Config:
 
     # parallelism (no reference counterpart; TPU-native additions)
     mesh_shape: Optional[str] = None     # e.g. "4x2" -> (data=4, model=2); None = single device
-    param_dtype: str = 'float32'
+    # XLA matmul precision for f32 operands: 'default' (fast single-pass
+    # bf16 on the MXU), 'high', or 'highest' (full f32, ~3-6x slower)
+    matmul_precision: str = 'default'
     # fused Pallas planner-rollout kernel (auto-gated: TPU backend +
     # single-task + non-episodic; falls back to the XLA scan otherwise)
     use_pallas: bool = True

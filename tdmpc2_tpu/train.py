@@ -24,6 +24,9 @@ from tdmpc2_tpu.utils.seed import set_seed
 
 def train(cfg):
     assert cfg.steps > 0, 'Must train for at least 1 step.'
+    if cfg.matmul_precision != 'default':
+        import jax
+        jax.config.update('jax_default_matmul_precision', cfg.matmul_precision)
     if cfg.profiler_port:
         # live trace server: connect with TensorBoard / xprof
         # (TPU-native observability; the reference has none, SURVEY.md §5.1)

@@ -97,3 +97,42 @@ def test_act_with_mesh():
         a = agent.act(np.zeros(10, np.float32), t0=True)
     assert a.shape == (4,)
     assert np.all(np.abs(a) <= 1.0)
+
+
+def test_317M_param_tree_sharding_shapes():
+    """FSDP rules shard every large leaf of the real 317M architecture
+    (shape-only via eval_shape; the full model never materializes)."""
+    from tdmpc2_tpu.models.world_model import WorldModel
+
+    cfg = _tiny_cfg()
+    for k, v in dict(enc_dim=4096, mlp_dim=4096, latent_dim=1376,
+                     num_enc_layers=5, num_q=8, num_bins=101,
+                     task_dim=96).items():
+        setattr(cfg, k, v)
+    cfg.multitask = True
+    cfg.tasks = ['t%d' % i for i in range(80)]
+    cfg.action_dims = [4] * 80
+    cfg.episode_lengths = [100] * 80
+    cfg.obs_shape = {'state': (128,)}
+
+    wm = WorldModel(cfg)
+    shapes = jax.eval_shape(lambda k: wm.init(k), jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
+    assert n_params > 250e6  # 317M-class
+
+    mesh = parallel.make_mesh('2x4')
+    shardings = parallel.fsdp_sharding(shapes, mesh)
+    flat_shapes = jax.tree.leaves(shapes)
+    flat_shard = jax.tree.leaves(shardings)
+    unsharded_big = [
+        (l.shape, s.spec) for l, s in zip(flat_shapes, flat_shard)
+        if int(np.prod(l.shape)) >= 2 ** 20
+        and s.spec == jax.sharding.PartitionSpec()]
+    assert not unsharded_big, unsharded_big
+    # per-device bytes drop ~4x on the 4-wide model axis
+    total = sum(int(np.prod(l.shape)) * 4 for l in flat_shapes)
+    per_dev = 0
+    for l, s in zip(flat_shapes, flat_shard):
+        n = int(np.prod(l.shape)) * 4
+        per_dev += n // 4 if s.spec != jax.sharding.PartitionSpec() else n
+    assert per_dev < 0.3 * total
