@@ -34,7 +34,12 @@ def train(cfg):
         jax.profiler.start_server(int(cfg.profiler_port))
     set_seed(cfg.seed)
     env = make_env(cfg)
-    agent = TDMPC2(cfg)
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from tdmpc2_tpu import parallel
+        mesh = parallel.make_mesh(cfg.mesh_shape)
+        print(f'Device mesh: {dict(mesh.shape)} over {mesh.size} devices')
+    agent = TDMPC2(cfg, mesh=mesh)
     buffer = Buffer(cfg)
     logger = Logger(cfg)
     if cfg.multitask:
