@@ -113,6 +113,11 @@ class Buffer:
         ep = dict(ep)
         valid_rows = int(ep.pop('valid_rows', ep['reward'].shape[0]))
         task = ep.pop('task', None)
+        if valid_rows < self._horizon + 1:
+            # too short to yield one (horizon+1)-row slice — drop it,
+            # mirroring torchrl SliceSampler's strict_length=True
+            # (reference buffer.py:17-24)
+            return self._num_eps
         # pad to fixed rows; normalize f64 -> f32 (TPU-native dtype)
         for k, v in ep.items():
             v = np.asarray(v)

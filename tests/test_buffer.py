@@ -139,3 +139,18 @@ def test_host_storage_prefetch_path():
         buf.close()
     finally:
         buffer_mod._device_free_bytes = orig
+
+
+def test_short_episodes_dropped():
+    """Episodes shorter than horizon+1 rows cannot yield a slice and are
+    dropped (torchrl strict_length=True semantics, reference buffer.py:22)."""
+    cfg = make_cfg(ep_len=20, horizon=3)
+    buf = Buffer(cfg)
+    ep = make_episode(20)
+    buf.add({**ep, 'valid_rows': 3})    # < horizon+1 -> dropped
+    assert buf.num_eps == 0
+    buf.add({**ep, 'valid_rows': 4})    # == horizon+1 -> kept
+    assert buf.num_eps == 1
+    obs, action, *_ = buf.sample()
+    # the only valid start is 0: action rows 1..3, never the NaN row
+    assert np.isfinite(np.asarray(action)).all()
