@@ -23,7 +23,6 @@ from tdmpc2_tpu.utils.seed import set_seed
 
 def evaluate(cfg):
     assert cfg.checkpoint, 'Must specify a checkpoint to evaluate.'
-    cfg.save_video = False
     set_seed(cfg.seed)
     env = make_env(cfg)
     agent = TDMPC2(cfg)
@@ -36,17 +35,33 @@ def evaluate(cfg):
         if not cfg.multitask:
             task_idx = None
         rewards, successes = [], []
-        for _ in range(cfg.eval_episodes):
+        for ep in range(cfg.eval_episodes):
             if cfg.multitask:
                 obs = env.reset(task_idx)
             else:
                 obs = env.reset()
             done, ep_reward, t, info = False, 0.0, 0, {}
+            frames = []
             while not done:
                 action = agent.act(obs, t0=(t == 0), eval_mode=True, task=task_idx)
                 obs, reward, done, info = env.step(action)
                 ep_reward += reward
                 t += 1
+                if cfg.save_video:
+                    frames.append(np.asarray(env.render()))
+            if cfg.save_video and frames:
+                # per-episode video (reference evaluate.py:66-90); falls
+                # back to gif when no mp4 backend (ffmpeg) is installed
+                import imageio
+                from pathlib import Path
+                vdir = Path(cfg.work_dir or '.') / 'videos'
+                vdir.mkdir(parents=True, exist_ok=True)
+                try:
+                    imageio.mimsave(
+                        str(vdir / f'{task}-{ep}.mp4'), frames, fps=15)
+                except Exception:
+                    imageio.mimsave(
+                        str(vdir / f'{task}-{ep}.gif'), frames, fps=15)
             rewards.append(ep_reward)
             successes.append(info.get('success', 0.0))
         r, s = float(np.nanmean(rewards)), float(np.nanmean(successes))

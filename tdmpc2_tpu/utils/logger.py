@@ -68,8 +68,12 @@ class VideoRecorder:
         try:
             import imageio
             self._dir.mkdir(parents=True, exist_ok=True)
-            fp = self._dir / f'{step}.mp4'
-            imageio.mimsave(str(fp), self.frames, fps=self.fps)
+            try:
+                fp = self._dir / f'{step}.mp4'
+                imageio.mimsave(str(fp), self.frames, fps=self.fps)
+            except Exception:  # no mp4 backend (ffmpeg): fall back to gif
+                fp = self._dir / f'{step}.gif'
+                imageio.mimsave(str(fp), self.frames, fps=self.fps)
             return fp
         except Exception:
             return None
