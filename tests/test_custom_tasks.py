@@ -76,3 +76,27 @@ def test_custom_task_steps_and_reward_range(task):
         # action repeat 2 sums two [0,1] rewards
         assert 0.0 <= float(r) <= 2.0 + 1e-6
     assert env.max_episode_steps == 500
+
+
+def test_multitask_env_over_real_suite():
+    """Multitask wrapper over real DMControl tasks (standard + custom):
+    obs padding, action truncation, per-task episode lengths
+    (reference envs/__init__.py:37-55)."""
+    from tdmpc2_tpu.envs import make_multitask_env
+    cfg = parse_cfg(Config(task='mt30'))
+    cfg.multitask = True
+    cfg.tasks = ['walker-walk', 'cheetah-run-backwards', 'cup-spin']
+    env = make_multitask_env(cfg)
+    assert cfg.obs_shapes == [24, 17, 8]
+    assert cfg.action_dims == [6, 6, 2]
+    assert cfg.episode_lengths == [500, 500, 500]
+    max_obs = max(cfg.obs_shapes)
+    for idx in range(3):
+        obs = env.reset(idx)
+        assert obs.shape == (max_obs,)
+        if cfg.obs_shapes[idx] < max_obs:  # zero-padded tail
+            assert np.allclose(obs[cfg.obs_shapes[idx]:], 0.0)
+        a = env.rand_act()
+        assert a.shape == (max(cfg.action_dims),)
+        obs2, r, done, info = env.step(a)
+        assert obs2.shape == (max_obs,) and np.isfinite(r)
