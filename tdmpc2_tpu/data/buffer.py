@@ -22,9 +22,6 @@ SliceSampler (reference: tdmpc2/common/buffer.py:7-115). Design:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,8 +20,6 @@ Networks (world_model.py:25-30):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -26,7 +26,6 @@ mesh covers the model family.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -1,7 +1,6 @@
 """Vectorized collection: VecEnv protocol, batched act, vec trainer loop."""
 
 import numpy as np
-import pytest
 
 from tdmpc2_tpu.config import Config, parse_cfg
 from tdmpc2_tpu.data.buffer import Buffer
