@@ -135,3 +135,19 @@ def test_evaluate_cli_roundtrip(tmp_path):
     (r, s), = results.values()
     assert np.isfinite(r)
     assert 0.0 <= s <= 1.0
+
+
+def test_eval_csv_schema(tmp_path):
+    """eval.csv matches the published results schema
+    (reference logger.py:235-240, results/*.csv)."""
+    import csv
+    cfg = parse_cfg(Config(task='toy-reach', save_csv=True, save_agent=False))
+    cfg.work_dir = str(tmp_path)
+    logger = Logger(cfg)
+    logger.log(dict(step=100, episode_reward=1.5, episode_success=0.0), 'eval')
+    logger.log(dict(step=200, episode_reward=2.5, episode_success=1.0), 'eval')
+    with open(tmp_path / 'eval.csv') as f:
+        rows = list(csv.DictReader(f))
+    assert [r['step'] for r in rows] == ['100', '200']
+    assert float(rows[1]['episode_reward']) == 2.5
+    assert set(rows[0]) == {'step', 'episode_reward', 'episode_success'}
