@@ -12,6 +12,7 @@ online (OnlineTrainer).
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 from tdmpc2_tpu.config import load_cfg
 from tdmpc2_tpu.data.buffer import Buffer
@@ -22,8 +23,21 @@ from tdmpc2_tpu.utils.logger import Logger
 from tdmpc2_tpu.utils.seed import set_seed
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat runs skip the ~40 s planner/
+    update compiles (safe no-op if unsupported)."""
+    try:
+        import jax
+        jax.config.update('jax_compilation_cache_dir',
+                          str(Path.home() / '.cache' / 'tdmpc2_tpu_xla'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
 def train(cfg):
     assert cfg.steps > 0, 'Must train for at least 1 step.'
+    _enable_compilation_cache()
     if cfg.matmul_precision != 'default':
         import jax
         jax.config.update('jax_default_matmul_precision', cfg.matmul_precision)
