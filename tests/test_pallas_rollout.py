@@ -69,3 +69,28 @@ def test_rollout_supported_gate():
     assert rollout_supported(C)
     C.multitask = True
     assert not rollout_supported(C)
+
+
+def test_fused_rollout_grid_blocked():
+    """Grid-blocked path (multiple programs over the sample axis) matches
+    the single-program result."""
+    from tdmpc2_tpu.ops.pallas_rollout import (prepare_rollout_params,
+                                               rollout_prepared)
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    S, L, A, D, B = 64, 32, 4, 32, 5
+    dyn = layers.mlp_init(k1, L + A, [D, D], L, final_normed=True)
+    rew = layers.mlp_init(k2, L + A, [D, D], B)
+    z0 = layers.simnorm(jax.random.normal(k3, (S, L)), 8)
+    actions = jax.random.uniform(jax.random.PRNGKey(7), (3, S, A),
+                                 minval=-1, maxval=1)
+    prep = prepare_rollout_params(dyn, rew, L, 8, -10., 10.,
+                                  dot_dtype=jnp.float32)
+    G1, z1 = rollout_prepared(prep, z0, actions, horizon=3, discount=0.9,
+                              dot_dtype=jnp.float32, interpret=True,
+                              block_s=S)       # single program
+    G2, z2 = rollout_prepared(prep, z0, actions, horizon=3, discount=0.9,
+                              dot_dtype=jnp.float32, interpret=True,
+                              block_s=16)      # 4 grid programs
+    np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-5)
