@@ -25,12 +25,33 @@ class VecOnlineTrainer(OnlineTrainer):
         self._n = self.env.num_envs
 
     def eval(self):
-        """Evaluate on env copy 0 (single-stream, like the reference)."""
-        vec_env, self.env = self.env, self.env.envs[0]
-        try:
-            return super().eval()
-        finally:
-            self.env = vec_env
+        """Evaluate all env copies in parallel: one batched greedy rollout
+        covers num_envs eval episodes (fixed-length tasks keep the copies in
+        lockstep), repeated until cfg.eval_episodes is met."""
+        import math as _math
+        n = self._n
+        rewards, successes, lengths = [], [], []
+        for r in range(_math.ceil(self.cfg.eval_episodes / n)):
+            obs = self.env.reset()
+            if self.logger.video:
+                self.logger.video.init(self.env.envs[0], enabled=(r == 0))
+            ep_reward, t, done = np.zeros(n), 0, False
+            while not done:
+                actions = self.agent.act(obs, t0=(t == 0), eval_mode=True)
+                obs, rews, dones, infos = self.env.step(actions)
+                ep_reward += rews
+                t += 1
+                done = bool(dones[0])
+                if self.logger.video:
+                    self.logger.video.record(self.env.envs[0])
+            rewards.extend(ep_reward.tolist())
+            successes.extend(i.get('success', 0.0) for i in infos)
+            lengths.extend([t] * n)
+            if self.logger.video:
+                self.logger.video.save(self._step)
+        return dict(episode_reward=float(np.nanmean(rewards)),
+                    episode_success=float(np.nanmean(successes)),
+                    episode_length=float(np.nanmean(lengths)))
 
     def _start_episodes(self, obs):
         n = self._n
