@@ -84,3 +84,17 @@ def test_multitask_env_padding_and_switching():
     assert obs.shape == (24,)
     obs = env.reset(1)  # walker
     assert np.any(obs[5:] != 0.0) or obs.shape == (24,)
+
+
+def test_dmc_pixel_observations():
+    """Pixel mode: 3-frame stack of 64x64 RGB, channel-first uint8
+    (reference envs/dmcontrol.py:66-89)."""
+    cfg = parse_cfg(Config(task='cartpole-balance', obs='rgb'))
+    env = make_env(cfg)
+    obs = env.reset()
+    assert obs.shape == (9, 64, 64) and obs.dtype == np.uint8
+    assert cfg.obs_shape == {'rgb': (9, 64, 64)}
+    obs2, r, done, info = env.step(env.rand_act())
+    assert obs2.shape == (9, 64, 64)
+    # frame stack shifts: newest frame occupies the last 3 channels
+    assert not np.array_equal(obs, obs2) or np.allclose(r, 0)
