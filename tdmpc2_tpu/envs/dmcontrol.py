@@ -13,9 +13,13 @@ registration side effect before the suite is queried.
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
 import numpy as np
+
+# offscreen rendering backend; must be set before mujoco loads a GL platform
+os.environ.setdefault('MUJOCO_GL', 'egl')
 
 from tdmpc2_tpu.envs.base import Env, NormalizeInfo, Timeout, Wrapper
 
@@ -106,8 +110,6 @@ _DOMAIN_ALIASES = dict(cup='ball_in_cup', pointmass='point_mass')
 
 def make_env(cfg):
     """Make a DMControl env (standard suite + this framework's custom tasks)."""
-    import os
-    os.environ.setdefault('MUJOCO_GL', 'egl')  # offscreen rendering backend
     # register custom tasks before querying the suite
     from tdmpc2_tpu.envs import tasks as _custom_tasks  # noqa: F401
     from dm_control import suite
