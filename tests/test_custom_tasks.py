@@ -100,3 +100,15 @@ def test_multitask_env_over_real_suite():
         assert a.shape == (max(cfg.action_dims),)
         obs2, r, done, info = env.step(a)
         assert obs2.shape == (max_obs,) and np.isfinite(r)
+
+
+def test_mt30_task_set_constructs():
+    """Every mt30 task (19 standard + 11 custom DMControl) constructs and
+    resets through the multitask factory (reference common/__init__.py:26-44)."""
+    from tdmpc2_tpu.envs import make_multitask_env
+    cfg = parse_cfg(Config(task='mt30'))
+    env = make_multitask_env(cfg)
+    assert len(env.envs) == 30
+    assert len(cfg.obs_shapes) == 30 and max(cfg.obs_shapes) > 0
+    obs = env.reset(29)  # pendulum-spin, the last custom task
+    assert obs.shape == (max(cfg.obs_shapes),)
