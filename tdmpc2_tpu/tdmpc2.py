@@ -173,6 +173,18 @@ class TDMPC2:
         })
         if extra:
             blob['extra'] = dict(extra)
+        fp = str(fp)
+        if fp.endswith('.orbax'):
+            # Orbax directory checkpoint: atomic + async-capable, the
+            # preferred format for pod-scale runs (SURVEY.md §5.4)
+            import orbax.checkpoint as ocp
+            path = Path(fp).absolute()
+            if path.exists():
+                import shutil
+                shutil.rmtree(path)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            ocp.PyTreeCheckpointer().save(str(path), blob)
+            return
         Path(fp).parent.mkdir(parents=True, exist_ok=True)
         with open(fp, 'wb') as f:
             pickle.dump(blob, f)
@@ -182,6 +194,10 @@ class TDMPC2:
         tdmpc2.py:81-95). Returns the checkpoint's `extra` metadata dict."""
         if isinstance(fp, dict):
             blob = fp
+        elif str(fp).endswith('.orbax'):
+            import orbax.checkpoint as ocp
+            blob = ocp.PyTreeCheckpointer().restore(
+                str(Path(str(fp)).absolute()))
         else:
             with open(fp, 'rb') as f:
                 blob = pickle.load(f)

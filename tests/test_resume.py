@@ -75,3 +75,22 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path):
     t = _trainer(cfg)
     t.maybe_resume()
     assert t._step == 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax directory checkpoints (.orbax suffix) round-trip the full
+    train state + metadata."""
+    pytest = __import__('pytest')
+    pytest.importorskip('orbax.checkpoint')
+    cfg = _cfg(tmp_path)
+    from tdmpc2_tpu.envs import make_env
+    make_env(cfg)
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+    agent = TDMPC2(cfg)
+    fp = tmp_path / 'state.orbax'
+    agent.save(fp, extra={'step': 42})
+    agent.save(fp, extra={'step': 43})  # overwrite works
+    agent2 = TDMPC2(cfg)
+    extra = agent2.load(str(fp))
+    assert int(extra['step']) == 43
+    assert jnp_leaves_equal(agent.state.params, agent2.state.params)
