@@ -121,7 +121,9 @@ class VecOnlineTrainer(OnlineTrainer):
             done = bool(dones[0])
             t_in_ep += 1
 
-            if self._step >= cfg.seed_steps:
+            # With n envs, the first episodes flush at step n*episode_length,
+            # which can be later than seed_steps — wait for buffered data.
+            if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
                 if not getattr(self, '_pretrained', False):
                     self._pretrained = True
                     num_updates = cfg.seed_steps

@@ -68,3 +68,21 @@ def test_vec_trainer_end_to_end(tmp_path):
     batch = buffer.sample()
     assert batch[0].shape[:2] == (cfg.horizon + 1, cfg.batch_size)
     assert np.isfinite(np.asarray(batch[0])).all()
+
+
+def test_vec_trainer_seed_steps_before_first_flush(tmp_path):
+    """seed_steps can elapse before the first episode round flushes (n envs
+    x episode_length > seed_steps); updates must wait for buffered data."""
+    cfg = make_cfg(tmp_path, steps=330, eval_freq=1000, eval_episodes=1)
+    env = make_env(cfg)
+    cfg.seed_steps = 60  # first flush at 3*50 = 150 > 60
+    from tdmpc2_tpu.trainer import VecOnlineTrainer
+    from tdmpc2_tpu.data.buffer import Buffer
+    from tdmpc2_tpu.utils.logger import Logger
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+    agent = TDMPC2(cfg)
+    buffer = Buffer(cfg)
+    trainer = VecOnlineTrainer(cfg=cfg, env=env, agent=agent, buffer=buffer,
+                               logger=Logger(cfg))
+    trainer.train()  # would raise 'Cannot sample from an empty buffer' before
+    assert buffer.num_eps >= 6
