@@ -98,7 +98,8 @@ class Buffer:
                 self._add_device,
                 donate_argnums=tuple(range(n_store + 1)),
                 static_argnames=())
-            self._sample_jit = jax.jit(self._sample_device)
+            self._sample_jit = jax.jit(self._sample_device,
+                           static_argnames=('n_batches',))
 
     # ------------------------------------------------------------------- add
 
@@ -193,6 +194,27 @@ class Buffer:
             batch = self._sample_host_prefetched(n_filled)
         return batch
 
+    def sample_many(self, n: int):
+        """Sample `n` independent batches in one device call.
+
+        Returns leaves with a leading batch-of-batches axis
+        (obs [n, T+1, B, ...], ...). Feeds the agent's fused multi-update
+        (one dispatch instead of 2n). Host-storage falls back to stacking
+        n prefetched batches.
+        """
+        assert self._num_eps > 0, 'Cannot sample from an empty buffer'
+        n_filled = min(self._num_eps, self._capacity_eps)
+        self._draws += 1
+        if self._on_device:
+            names = sorted(self._storage)
+            return self._sample_jit(
+                {k_: self._storage[k_] for k_ in names},
+                self._ep_rows,
+                self._task_store if self._has_task else None,
+                np.int32(n_filled), np.int32(self._draws), n_batches=n)
+        batches = [self._sample_host_prefetched(n_filled) for _ in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
     # Host-storage pipelining: a daemon thread keeps a small queue of
     # gathered+device_put batches so the learner never waits on the numpy
     # gather or the H2D copy (the reference's CPU-storage fallback has no
@@ -225,15 +247,17 @@ class Buffer:
         if getattr(self, '_prefetch_q', None) is not None:
             self._prefetch_stop.set()
 
-    def _sample_device(self, storage, ep_rows, task_store, n_filled, draw):
+    def _sample_device(self, storage, ep_rows, task_store, n_filled, draw,
+                       n_batches: int = 1):
         T, B = self._horizon, self._batch_size
+        NB = B * n_batches
         # derive this draw's randomness inside the jit (host keeps only a
         # counter -> sample() costs exactly one device dispatch)
         key = jax.random.fold_in(self._key, draw)
         k_ep, k_start = jax.random.split(key)
-        ep_idx = jax.random.randint(k_ep, (B,), 0, n_filled)
+        ep_idx = jax.random.randint(k_ep, (NB,), 0, n_filled)
         max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start
-        u = jax.random.uniform(k_start, (B,))
+        u = jax.random.uniform(k_start, (NB,))
         start = jnp.floor(u * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
 
         t_obs = jnp.arange(T + 1)[None, :]           # [1, T+1]
@@ -250,11 +274,22 @@ class Buffer:
         else:
             terminated = jnp.zeros_like(reward)
 
-        obs = jnp.moveaxis(obs, 0, 1)                # [T+1, B, ...]
+        obs = jnp.moveaxis(obs, 0, 1)                # [T+1, NB, ...]
         action = jnp.moveaxis(action, 0, 1)
         reward = jnp.moveaxis(reward, 0, 1)[..., None]
         terminated = jnp.moveaxis(terminated, 0, 1)[..., None]
         task = task_store[ep_idx] if task_store is not None else None
+        if n_batches == 1:
+            return obs, action, reward, terminated, task
+
+        def split(x, t_axis):
+            # [T, n*B, ...] -> [n, T, B, ...]
+            x = x.reshape(x.shape[0], n_batches, B, *x.shape[2:])
+            return jnp.moveaxis(x, 0, 1)
+        obs, action = split(obs, 0), split(action, 0)
+        reward, terminated = split(reward, 0), split(terminated, 0)
+        if task is not None:
+            task = task.reshape(n_batches, B)
         return obs, action, reward, terminated, task
 
     def _sample_host(self, n_filled, key):

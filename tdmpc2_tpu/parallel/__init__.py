@@ -118,7 +118,7 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 1):
     def put(x):
         if x is None:
             return None
-        ax = batch_axis if x.ndim > batch_axis else 0
+        ax = batch_axis if x.ndim > batch_axis else x.ndim - 1
         spec = [None] * (ax + 1)
         spec[ax] = DATA_AXIS
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -125,6 +125,7 @@ class TDMPC2:
         self._pi_act_jit = {
             em: jax.jit(partial(self._pi_act, eval_mode=em)) for em in (False, True)}
         self._update_jit = jax.jit(self._update, donate_argnums=0)
+        self._update_scan_jit = jax.jit(self._update_scan, donate_argnums=0)
 
     # ------------------------------------------------------------------ setup
 
@@ -424,6 +425,34 @@ class TDMPC2:
             batch = parallel.shard_batch(batch, self.mesh)
         self.state, info = self._update_jit(self.state, *batch)
         return info
+
+    def update_many(self, buffer, n: int):
+        """`n` sequential learning iterations fused into one device call:
+        one batched replay gather + a `lax.scan` over the update step
+        (identical numerics/RNG chain to n `update()` calls from one draw).
+        Amortizes per-dispatch overhead for batched collection and offline
+        training; no reference counterpart."""
+        if n == 1:
+            return self.update(buffer)
+        batch = buffer.sample_many(n)
+        if self.mesh is not None:
+            from tdmpc2_tpu import parallel
+            batch = parallel.shard_batch(batch, self.mesh, batch_axis=2)
+        self.state, info = self._update_scan_jit(self.state, *batch)
+        return info
+
+    def _update_scan(self, state, obs, action, reward, terminated, task=None):
+        xs = (obs, action, reward, terminated)
+        if task is None:
+            def body(st, b):
+                return self._update(st, *b)
+            state, infos = jax.lax.scan(body, state, xs)
+        else:
+            def body(st, b):
+                *main, t = b
+                return self._update(st, *main, task=t)
+            state, infos = jax.lax.scan(body, state, xs + (task,))
+        return state, jax.tree.map(lambda x: x[-1], infos)
 
     def _td_target(self, params, target_Qs, next_z, reward, terminated, task, key):
         """Min-Q TD target under stop-gradient (reference tdmpc2.py:241-257)."""

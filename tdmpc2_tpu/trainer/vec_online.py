@@ -126,12 +126,14 @@ class VecOnlineTrainer(OnlineTrainer):
             if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
                 if not getattr(self, '_pretrained', False):
                     self._pretrained = True
-                    num_updates = cfg.seed_steps
                     print('Pretraining agent on seed data...')
+                    for _ in range(cfg.seed_steps // n):
+                        _train_metrics = self.agent.update_many(self.buffer, n)
+                    for _ in range(cfg.seed_steps % n):
+                        _train_metrics = self.agent.update(self.buffer)
                 else:
-                    num_updates = n
-                for _ in range(num_updates):
-                    _train_metrics = self.agent.update(self.buffer)
+                    # n updates (1 per env step) fused into one device call
+                    _train_metrics = self.agent.update_many(self.buffer, n)
                 train_metrics.update(_train_metrics)
 
             self._step += n
