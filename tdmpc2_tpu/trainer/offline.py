@@ -97,9 +97,22 @@ class OfflineTrainer(Trainer):
 
         print(f'Training agent for {self.cfg.steps} iterations...')
         metrics = {}
-        for i in range(self.cfg.steps):
-            train_metrics = self.agent.update(self.buffer)
-            if i % self.cfg.eval_freq == 0 or i % 10_000 == 0:
+        # gradient iterations run in fused chunks (one device call per
+        # `chunk` updates); logging/eval boundaries stay step-accurate
+        chunk = 8
+        i = 0
+        while i < self.cfg.steps:
+            boundary = min(
+                x for x in (
+                    self.cfg.steps,
+                    (i // self.cfg.eval_freq + 1) * self.cfg.eval_freq,
+                    (i // 10_000 + 1) * 10_000)
+                if x > i)
+            k = min(chunk, boundary - i)
+            train_metrics = (self.agent.update_many(self.buffer, k)
+                             if k > 1 else self.agent.update(self.buffer))
+            i += k
+            if i % self.cfg.eval_freq == 0 or i % 10_000 == 0 or i == self.cfg.steps:
                 metrics = dict(iteration=i,
                                elapsed_time=time() - self._start_time)
                 metrics.update({k: float(v) for k, v in train_metrics.items()})
