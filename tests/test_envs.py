@@ -98,3 +98,18 @@ def test_dmc_pixel_observations():
     assert obs2.shape == (9, 64, 64)
     # frame stack shifts: newest frame occupies the last 3 channels
     assert not np.array_equal(obs, obs2) or np.allclose(r, 0)
+
+
+def test_gym_mujoco_adapter():
+    """Gymnasium MuJoCo tasks: episodic terminated passthrough, timeouts,
+    cfg mutation (reference envs/mujoco.py:24-58)."""
+    pytest = __import__('pytest')
+    pytest.importorskip('gymnasium')
+    cfg = parse_cfg(Config(task='mujoco-walker', episodic=True))
+    env = make_env(cfg)
+    assert cfg.discount_max == 0.99 and cfg.rho == 0.7  # reference quirk
+    assert cfg.episode_length == 1000
+    obs = env.reset()
+    assert obs.dtype == np.float32 and obs.shape == (17,)
+    obs, r, done, info = env.step(env.rand_act())
+    assert 'terminated' in info and isinstance(info['terminated'], float)
