@@ -93,6 +93,7 @@ class VecOnlineTrainer(OnlineTrainer):
                     eval_metrics.update(self.common_metrics())
                     self.logger.log(eval_metrics, 'eval')
                     eval_next = False
+                    self._checkpoint()
 
                 if self._step > 0:
                     ep_rewards = [np.nansum(r[1:]) for r in self._ep_reward]

@@ -86,3 +86,19 @@ def test_vec_trainer_seed_steps_before_first_flush(tmp_path):
                                logger=Logger(cfg))
     trainer.train()  # would raise 'Cannot sample from an empty buffer' before
     assert buffer.num_eps >= 6
+
+
+def test_vec_trainer_checkpoints_at_eval(tmp_path):
+    cfg = make_cfg(tmp_path, steps=330, eval_freq=150, eval_episodes=1,
+                   save_agent=True)
+    env = make_env(cfg)
+    cfg.seed_steps = 160
+    from tdmpc2_tpu.trainer import VecOnlineTrainer
+    from tdmpc2_tpu.data.buffer import Buffer
+    from tdmpc2_tpu.utils.logger import Logger
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+    trainer = VecOnlineTrainer(cfg=cfg, env=env, agent=TDMPC2(cfg),
+                               buffer=Buffer(cfg), logger=Logger(cfg))
+    trainer.train()
+    import pathlib
+    assert (pathlib.Path(cfg.work_dir) / 'models' / 'latest.pkl').exists()
