@@ -210,6 +210,14 @@ def shift_aug(key, x, pad: int = 3):
 _CONV_SPEC = ((7, 2), (5, 2), (3, 2), (3, 1))  # (kernel, stride) per layer
 
 
+def conv_output_dim(h: int, w: int, num_channels: int) -> int:
+    """Flattened output size of the conv encoder for an h x w input."""
+    for k, s in _CONV_SPEC:
+        h = (h - k) // s + 1
+        w = (w - k) // s + 1
+    return h * w * num_channels
+
+
 def conv_encoder_init(key, in_ch: int, num_channels: int, dtype=jnp.float32):
     """4-layer CNN for 64x64 RGB (reference layers.py:136-150)."""
     keys = jax.random.split(key, len(_CONV_SPEC))

@@ -63,6 +63,15 @@ class WorldModel:
         if 'rgb' in obs_shape:
             encoder['rgb'] = layers.conv_encoder_init(
                 keys[0], obs_shape['rgb'][0], cfg.num_channels)
+            # conv output must equal latent_dim (64px/32ch -> 512, the
+            # reference geometry, layers.py:136-150)
+            conv_out = layers.conv_output_dim(
+                obs_shape['rgb'][1], obs_shape['rgb'][2], cfg.num_channels)
+            if conv_out != cfg.latent_dim:
+                raise ValueError(
+                    f'latent_dim={cfg.latent_dim} must equal the conv '
+                    f'encoder output {conv_out} for rgb input '
+                    f'{obs_shape["rgb"]} with num_channels={cfg.num_channels}')
 
         params = {
             'encoder': encoder,
