@@ -77,7 +77,8 @@ class Buffer:
         where = 'DEVICE (HBM)' if self._on_device else 'HOST (RAM)'
         print(f'Buffer capacity: {self._capacity:,} '
               f'({self._capacity_eps:,} episodes x {self._rows} rows)')
-        print(f'Storage required: {total_bytes / 1e9:.2f} GB -> {where}')
+        print(f'Storage required: {total_bytes / 1e9:.2f} GB '
+              f'(free device memory: {free / 1e9:.2f} GB) -> {where}')
 
         xp = jnp if self._on_device else np
         self._storage = {
