@@ -268,6 +268,13 @@ class Buffer:
         ep_b = ep_idx[:, None]
 
         obs = storage['obs'][ep_b, rows_obs]         # [B, T+1, ...]
+        if obs.dtype == jnp.uint8:
+            # cast pixel slices to f32 inside the sampler: uint8 outputs of
+            # the gather carry a byte-packed layout whose relayout inside
+            # the consuming update step costs ~100 ms/batch on TPU; the
+            # one-time cast here makes all downstream ops layout-friendly
+            # (storage itself stays uint8)
+            obs = obs.astype(jnp.float32)
         action = storage['action'][ep_b, rows_act]   # [B, T, A]
         reward = storage['reward'][ep_b, rows_act]   # [B, T]
         if 'terminated' in storage:
@@ -305,7 +312,10 @@ class Buffer:
         rows_act = start[:, None] + np.arange(1, T + 1)[None]
         ep_b = ep_idx[:, None]
 
-        obs = jnp.asarray(np.moveaxis(self._storage['obs'][ep_b, rows_obs], 0, 1))
+        obs_np = np.moveaxis(self._storage['obs'][ep_b, rows_obs], 0, 1)
+        if obs_np.dtype == np.uint8:
+            obs_np = obs_np.astype(np.float32)
+        obs = jnp.asarray(obs_np)
         action = jnp.asarray(np.moveaxis(self._storage['action'][ep_b, rows_act], 0, 1))
         reward = np.moveaxis(self._storage['reward'][ep_b, rows_act], 0, 1)[..., None]
         if 'terminated' in self._storage:

@@ -76,6 +76,8 @@ def test_pixel_training_loop(tmp_path):
                   logger=logger).train()
     assert buffer.num_eps >= 3
     obs, *_ = buffer.sample()
-    assert obs.dtype == np.uint8 and obs.shape[2:] == (9, 32, 32)
+    # storage is uint8; sampled batches are pre-cast to f32 (TPU layout)
+    assert obs.dtype == np.float32 and obs.shape[2:] == (9, 32, 32)
+    assert float(np.max(np.asarray(obs))) <= 255.0
     a = agent.act(env.reset(), t0=True, eval_mode=True)
     assert a.shape == (2,) and np.all(np.abs(a) <= 1)
