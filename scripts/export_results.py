@@ -2,7 +2,11 @@
 """Export local eval curves to results/ in the published CSV schema
 (step,reward,seed — reference results/tdmpc2/*.csv).
 
-Usage: python scripts/export_results.py <task> [seed] [exp_name]
+Usage: python scripts/export_results.py <task> [seed] [exp_name] [variant]
+
+`variant` (default 'tdmpc2_tpu') selects the results subdirectory, e.g.
+'tdmpc2_tpu-pixels' for rgb runs (mirrors the reference's
+results/tdmpc2-pixels/ layout).
 """
 
 from __future__ import annotations
@@ -16,10 +20,11 @@ def main():
     task = sys.argv[1]
     seed = sys.argv[2] if len(sys.argv) > 2 else '1'
     exp = sys.argv[3] if len(sys.argv) > 3 else 'r1'
+    variant = sys.argv[4] if len(sys.argv) > 4 else 'tdmpc2_tpu'
     src = Path('logs') / task / seed / exp / 'eval.csv'
     if not src.exists():
         sys.exit(f'No curve at {src}')
-    out_dir = Path('results') / 'tdmpc2_tpu'
+    out_dir = Path('results') / variant
     out_dir.mkdir(parents=True, exist_ok=True)
     out = out_dir / f'{task}.csv'
     rows = []
