@@ -8,12 +8,13 @@ the full 6-iteration x 512-sample x horizon-3 planning kernel + host<->device
 action transfer — the per-env-step inference fast path, reference
 tdmpc2/tdmpc2.py:97-120). The reference publishes no throughput numbers
 (SURVEY.md §6); BASELINE.json's target is ">=10x planner throughput per chip"
-vs the reference. We use 40 plans/s as the documented estimate of the
-torch.compile'd reference planner on its unspecified single GPU (derived from
-the common report of ~1M env steps / ~12 h wall for state-based DMControl
-training, which bounds act+update at ~23 steps/s; planning alone is faster).
-`vs_baseline` is plans_per_s / 40 — the >=10x target corresponds to
-vs_baseline >= 10. Secondary numbers (update steps/s) go to stderr.
+vs the reference. The denominator is a DERIVED BOUND, not a measurement:
+state-based DMControl training with the reference is commonly reported at
+~1M env steps per ~12 h on one GPU, which bounds its act+update loop at
+<= ~23 steps/s; planning alone is therefore >= ~23 plans/s but of that order.
+We use 40 plans/s as a generous round-up of that bound. `vs_baseline` is
+plans_per_s / 40; the >=10x target corresponds to vs_baseline >= 10, and the
+margin (~280x) absorbs an order-of-magnitude error in the estimate. Secondary numbers (update steps/s) go to stderr.
 """
 
 from __future__ import annotations

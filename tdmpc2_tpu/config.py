@@ -148,6 +148,13 @@ class Config:
     use_pallas: bool = True
     # number of parallel env copies for vectorized online data collection
     num_envs: int = 1
+    # vectorized-env backend: 'subproc' (one worker process per env copy;
+    # parallel physics/rendering), 'inproc' (serial host loop), or 'auto'
+    # (subproc for render-heavy rgb observations, inproc otherwise)
+    vec_mode: str = 'auto'
+    # replay storage placement: 'auto' (2.5x-bytes-fit heuristic, reference
+    # buffer.py:62), 'device' (force HBM), 'host' (force RAM + prefetch)
+    buffer_device: str = 'auto'
 
     # fault tolerance / observability (no reference counterpart)
     resume: bool = False            # resume online training from the latest

@@ -18,9 +18,17 @@ SliceSampler (reference: tdmpc2/common/buffer.py:7-115). Design:
 - Storage placement mirrors the reference's 2.5x-bytes-fit heuristic
   (buffer.py:62): device HBM when it fits, host RAM (numpy) otherwise, with
   a single H2D transfer per sampled batch in the host case.
+- Pixel observations (stacked rgb frames) are stored UNSTACKED: only the
+  newest frame of each step's stack is kept (the reference stores the full
+  stack, 3x redundant), and sampling re-builds the [f_{t-2}, f_{t-1}, f_t]
+  stacks from per-step frames — 3x less storage and, for host-resident
+  buffers, uint8 frames (not f32 stacks) cross the host->device link:
+  ~24x less transfer per batch than the round-1 path.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +61,11 @@ class Buffer:
         self._host_rng = np.random.default_rng(cfg.seed + 0x5EED)
         self._sample_jit = None
         self._add_jit = None
+        # stacked-frame pixel obs are stored unstacked (newest frame per row)
+        self._frame_stack = 3 if cfg.get('obs') == 'rgb' else 1
+        self._obs_frame_shape = None  # (c, H, W) per frame when unstacking
+        self._prefetch_n = None
+        self._finish_jits = {}
 
     @property
     def capacity(self) -> int:
@@ -73,7 +86,18 @@ class Buffer:
             int(np.prod(shapes[k])) * np.dtype(dtypes[k]).itemsize for k in ep)
         total_bytes = bytes_per_row * self._rows * self._capacity_eps
         free = _device_free_bytes()
-        self._on_device = 2.5 * total_bytes < free
+        mode = str(self.cfg.get('buffer_device') or 'auto')
+        if mode == 'auto':
+            # mirror the reference's 2.5x-bytes heuristic (buffer.py:62).
+            # NOTE: on the tunneled backend memory_stats() is unavailable and
+            # `free` falls back to a conservative 8 GB; pixel runs that need
+            # the full 16 GB HBM should pass buffer_device=device explicitly
+            # (host storage pays ~0.6 s of H2D per 8-update chunk through the
+            # tunnel — an order of magnitude slower than device-resident).
+            self._on_device = 2.5 * total_bytes < free
+        else:
+            assert mode in ('device', 'host'), mode
+            self._on_device = mode == 'device'
         where = 'DEVICE (HBM)' if self._on_device else 'HOST (RAM)'
         print(f'Buffer capacity: {self._capacity:,} '
               f'({self._capacity_eps:,} episodes x {self._rows} rows)')
@@ -126,6 +150,22 @@ class Buffer:
                 pad = [(0, self._rows - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
                 v = np.pad(v, pad)
             ep[k] = v
+        # unstack pixel frame stacks: store only the newest frame per row
+        # (row 0 is the reset obs whose stack is the first frame repeated,
+        # envs/dmcontrol.py PixelObs — so newest == that frame there too).
+        # Frames are stored FLATTENED to [rows, c*H*W]: a trailing [.., 64, 64]
+        # uint8 array gets TPU tile padding (minormost dim 64 -> 128) that
+        # DOUBLES its HBM footprint and forces a full-storage relayout copy
+        # inside the sample program; a 128-aligned flat vector has neither.
+        if (self._frame_stack > 1 and ep['obs'].ndim == 4
+                and ep['obs'].shape[1] % self._frame_stack == 0):
+            if self._obs_frame_shape is None and self._storage is None:
+                c = ep['obs'].shape[1] // self._frame_stack
+                self._obs_frame_shape = (c,) + ep['obs'].shape[2:]
+            if self._obs_frame_shape is not None:
+                c = self._obs_frame_shape[0]
+                ep['obs'] = np.ascontiguousarray(ep['obs'][:, -c:]).reshape(
+                    ep['obs'].shape[0], -1)
         if self._storage is None:
             probe = dict(ep)
             if task is not None:
@@ -181,27 +221,17 @@ class Buffer:
         terminated [T,B,1], task [B] or None) — the exact layout the update
         kernel consumes (reference buffer.py:93-115).
         """
-        assert self._num_eps > 0, 'Cannot sample from an empty buffer'
-        n_filled = min(self._num_eps, self._capacity_eps)
-        self._draws += 1
-        if self._on_device:
-            names = sorted(self._storage)
-            batch = self._sample_jit(
-                {k_: self._storage[k_] for k_ in names},
-                self._ep_rows,
-                self._task_store if self._has_task else None,
-                np.int32(n_filled), np.int32(self._draws))
-        else:
-            batch = self._sample_host_prefetched(n_filled)
-        return batch
+        return self.sample_many(1)
 
     def sample_many(self, n: int):
         """Sample `n` independent batches in one device call.
 
-        Returns leaves with a leading batch-of-batches axis
-        (obs [n, T+1, B, ...], ...). Feeds the agent's fused multi-update
-        (one dispatch instead of 2n). Host-storage falls back to stacking
-        n prefetched batches.
+        For n > 1, leaves carry a leading batch-of-batches axis
+        (obs [n, T+1, B, ...], ...) feeding the agent's fused multi-update
+        (one dispatch instead of 2n); n == 1 returns unbatched leaves.
+        Host storage does ONE vectorized numpy gather + ONE H2D transfer for
+        all n batches (uint8 frames for pixel obs), produced ahead of time by
+        the prefetch thread.
         """
         assert self._num_eps > 0, 'Cannot sample from an empty buffer'
         n_filled = min(self._num_eps, self._capacity_eps)
@@ -213,26 +243,26 @@ class Buffer:
                 self._ep_rows,
                 self._task_store if self._has_task else None,
                 np.int32(n_filled), np.int32(self._draws), n_batches=n)
-        batches = [self._sample_host_prefetched(n_filled) for _ in range(n)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        return self._sample_host_prefetched(n_filled, n)
 
     # Host-storage pipelining: a daemon thread keeps a small queue of
-    # gathered+device_put batches so the learner never waits on the numpy
-    # gather or the H2D copy (the reference's CPU-storage fallback has no
-    # pipelining, buffer.py:62; SURVEY.md §7 'mt80 ... async device
+    # gathered+device_put multi-batches so the learner never waits on the
+    # numpy gather or the H2D copy (the reference's CPU-storage fallback has
+    # no pipelining, buffer.py:62; SURVEY.md §7 'mt80 ... async device
     # prefetch'). Uniform sampling tolerates the queue's slight staleness
     # w.r.t. concurrent adds.
-    def _sample_host_prefetched(self, n_filled):
+    def _sample_host_prefetched(self, n_filled, n):
         import queue
         import threading
-        if getattr(self, '_prefetch_q', None) is None:
+        if self._prefetch_n is None:
+            self._prefetch_n = n
             self._prefetch_q = queue.Queue(maxsize=2)
             self._prefetch_stop = threading.Event()
 
             def worker():
                 while not self._prefetch_stop.is_set():
                     nf = min(self._num_eps, self._capacity_eps)
-                    batch = self._sample_host(nf, None)
+                    batch = self._sample_host_batched(nf, n)
                     while not self._prefetch_stop.is_set():
                         try:
                             self._prefetch_q.put(batch, timeout=0.5)
@@ -242,11 +272,62 @@ class Buffer:
 
             self._prefetch_thread = threading.Thread(target=worker, daemon=True)
             self._prefetch_thread.start()
+        if n != self._prefetch_n:
+            # off-cadence request (e.g. the seed-steps remainder): serve
+            # synchronously without disturbing the steady-state queue
+            return self._sample_host_batched(n_filled, n)
         return self._prefetch_q.get()
 
     def close(self):
         if getattr(self, '_prefetch_q', None) is not None:
             self._prefetch_stop.set()
+
+    # -- slice-index draw (shared by device and host paths) -------------------
+    #
+    # torchrl's SliceSampler is uniform over SLICES, not episodes: an episode
+    # with more valid starts is proportionally more likely (reference
+    # common/buffer.py:17-24). Episode choice is therefore weighted by its
+    # valid-start count (rows - horizon); within the episode the start is
+    # uniform. For fixed-length episodes this reduces to uniform episodes.
+
+    def _draw_slices_device(self, key, ep_rows, n_filled, nb):
+        T = self._horizon
+        k_ep, k_start = jax.random.split(key)
+        valid = jnp.arange(self._capacity_eps) < n_filled
+        w = jnp.where(valid, jnp.maximum(ep_rows - T, 0), 0)
+        cum = jnp.cumsum(w.astype(jnp.float32))
+        u = jax.random.uniform(k_ep, (nb,)) * cum[-1]
+        ep_idx = jnp.clip(jnp.searchsorted(cum, u, side='right'),
+                          0, self._capacity_eps - 1).astype(jnp.int32)
+        max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start
+        v = jax.random.uniform(k_start, (nb,))
+        start = jnp.floor(v * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
+        return ep_idx, start
+
+    def _draw_slices_host(self, n_filled, nb):
+        T = self._horizon
+        rng = self._host_rng
+        ep_rows = np.asarray(self._ep_rows)[:n_filled]
+        w = np.maximum(ep_rows - T, 0).astype(np.float64)
+        cum = np.cumsum(w)
+        u = rng.random(nb) * cum[-1]
+        ep_idx = np.clip(np.searchsorted(cum, u, side='right'), 0, n_filled - 1)
+        max_start = ep_rows[ep_idx] - (T + 1)
+        start = (rng.random(nb) * (max_start + 1)).astype(np.int64)
+        return ep_idx, start
+
+    def _restack(self, frames, T: int):
+        """[NB, T+fs, c*H*W] flat per-step frames -> [NB, T+1, fs*c, H, W]
+        oldest-first stacks (envs/dmcontrol.py PixelObs layout): flat concat
+        of fs consecutive frames == channel concat, since the frame vector is
+        (c, H, W)-contiguous."""
+        fs = self._frame_stack
+        nb = frames.shape[0]
+        c, h, w = self._obs_frame_shape
+        outs = [frames[:, t:t + fs].reshape(nb, fs * c * h * w)
+                for t in range(T + 1)]
+        x = jnp.stack(outs, axis=1)                  # [NB, T+1, fs*c*h*w]
+        return x.reshape(nb, T + 1, fs * c, h, w)
 
     def _sample_device(self, storage, ep_rows, task_store, n_filled, draw,
                        n_batches: int = 1):
@@ -255,26 +336,27 @@ class Buffer:
         # derive this draw's randomness inside the jit (host keeps only a
         # counter -> sample() costs exactly one device dispatch)
         key = jax.random.fold_in(self._key, draw)
-        k_ep, k_start = jax.random.split(key)
-        ep_idx = jax.random.randint(k_ep, (NB,), 0, n_filled)
-        max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start
-        u = jax.random.uniform(k_start, (NB,))
-        start = jnp.floor(u * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
+        ep_idx, start = self._draw_slices_device(key, ep_rows, n_filled, NB)
 
         t_obs = jnp.arange(T + 1)[None, :]           # [1, T+1]
         t_act = jnp.arange(1, T + 1)[None, :]        # [1, T]
-        rows_obs = start[:, None] + t_obs            # [B, T+1]
         rows_act = start[:, None] + t_act            # [B, T]
         ep_b = ep_idx[:, None]
 
-        obs = storage['obs'][ep_b, rows_obs]         # [B, T+1, ...]
-        if obs.dtype == jnp.uint8:
-            # cast pixel slices to f32 inside the sampler: uint8 outputs of
-            # the gather carry a byte-packed layout whose relayout inside
-            # the consuming update step costs ~100 ms/batch on TPU; the
-            # one-time cast here makes all downstream ops layout-friendly
-            # (storage itself stays uint8)
-            obs = obs.astype(jnp.float32)
+        if self._obs_frame_shape is not None:
+            fs = self._frame_stack
+            f_rows = jnp.clip(
+                start[:, None] + jnp.arange(-(fs - 1), T + 1)[None, :], 0, None)
+            frames = storage['obs'][ep_b, f_rows]    # [NB, T+fs, c*H*W]
+            # cast before restack: uint8 gather outputs carry a byte-packed
+            # layout whose relayout in the consuming update step costs
+            # ~100 ms/batch on TPU (storage itself stays uint8)
+            obs = self._restack(frames.astype(jnp.float32), T)
+        else:
+            rows_obs = start[:, None] + t_obs        # [B, T+1]
+            obs = storage['obs'][ep_b, rows_obs]     # [B, T+1, ...]
+            if obs.dtype == jnp.uint8:
+                obs = obs.astype(jnp.float32)
         action = storage['action'][ep_b, rows_act]   # [B, T, A]
         reward = storage['reward'][ep_b, rows_act]   # [B, T]
         if 'terminated' in storage:
@@ -282,46 +364,71 @@ class Buffer:
         else:
             terminated = jnp.zeros_like(reward)
 
+        task = task_store[ep_idx] if task_store is not None else None
+        return self._to_batch_layout(
+            obs, action, reward, terminated, task, n_batches)
+
+    def _to_batch_layout(self, obs, action, reward, terminated, task,
+                         n_batches: int):
+        """[NB, T(+1), ...] leaves -> the update layout [T(+1), B, ...],
+        with a leading n axis when n_batches > 1."""
+        B = self._batch_size
         obs = jnp.moveaxis(obs, 0, 1)                # [T+1, NB, ...]
         action = jnp.moveaxis(action, 0, 1)
         reward = jnp.moveaxis(reward, 0, 1)[..., None]
         terminated = jnp.moveaxis(terminated, 0, 1)[..., None]
-        task = task_store[ep_idx] if task_store is not None else None
         if n_batches == 1:
             return obs, action, reward, terminated, task
 
-        def split(x, t_axis):
+        def split(x):
             # [T, n*B, ...] -> [n, T, B, ...]
             x = x.reshape(x.shape[0], n_batches, B, *x.shape[2:])
             return jnp.moveaxis(x, 0, 1)
-        obs, action = split(obs, 0), split(action, 0)
-        reward, terminated = split(reward, 0), split(terminated, 0)
+        obs, action = split(obs), split(action)
+        reward, terminated = split(reward), split(terminated)
         if task is not None:
             task = task.reshape(n_batches, B)
         return obs, action, reward, terminated, task
 
-    def _sample_host(self, n_filled, key):
-        del key  # host path uses a host-side numpy Generator
+    def _sample_host_batched(self, n_filled, n_batches):
+        """One vectorized numpy gather + one H2D transfer for all n batches;
+        restack/layout runs on device. Pixel obs cross the link as uint8
+        per-step frames: [NB, T+fs, c, H, W] bytes instead of the f32
+        stacked [NB, T+1, fs*c, H, W] (24x less for the rgb defaults)."""
         T, B = self._horizon, self._batch_size
-        rng = self._host_rng
-        ep_idx = rng.integers(0, n_filled, B)
-        max_start = np.asarray(self._ep_rows)[ep_idx] - (T + 1)
-        start = (rng.random(B) * (max_start + 1)).astype(np.int64)
-
-        rows_obs = start[:, None] + np.arange(T + 1)[None]
+        nb = B * n_batches
+        ep_idx, start = self._draw_slices_host(n_filled, nb)
         rows_act = start[:, None] + np.arange(1, T + 1)[None]
         ep_b = ep_idx[:, None]
 
-        obs_np = np.moveaxis(self._storage['obs'][ep_b, rows_obs], 0, 1)
-        if obs_np.dtype == np.uint8:
-            obs_np = obs_np.astype(np.float32)
-        obs = jnp.asarray(obs_np)
-        action = jnp.asarray(np.moveaxis(self._storage['action'][ep_b, rows_act], 0, 1))
-        reward = np.moveaxis(self._storage['reward'][ep_b, rows_act], 0, 1)[..., None]
+        if self._obs_frame_shape is not None:
+            fs = self._frame_stack
+            f_rows = np.clip(
+                start[:, None] + np.arange(-(fs - 1), T + 1)[None], 0, None)
+            obs = self._storage['obs'][ep_b, f_rows]   # [NB, T+fs, c*H*W]
+        else:
+            rows_obs = start[:, None] + np.arange(T + 1)[None]
+            obs = self._storage['obs'][ep_b, rows_obs]
+        action = self._storage['action'][ep_b, rows_act]
+        reward = self._storage['reward'][ep_b, rows_act]
         if 'terminated' in self._storage:
-            term = np.moveaxis(self._storage['terminated'][ep_b, rows_act], 0, 1)[..., None]
+            term = self._storage['terminated'][ep_b, rows_act]
         else:
             term = np.zeros_like(reward)
-        task = (jnp.asarray(self._task_store[ep_idx])
-                if self._has_task else None)
-        return obs, action, jnp.asarray(reward), jnp.asarray(term), task
+        task = self._task_store[ep_idx] if self._has_task else None
+
+        if n_batches not in self._finish_jits:
+            self._finish_jits[n_batches] = jax.jit(
+                partial(self._finish_host, n_batches=n_batches))
+        return self._finish_jits[n_batches](obs, action, reward, term, task)
+
+    def _finish_host(self, obs, action, reward, terminated, task,
+                     n_batches: int):
+        """Device-side finisher for host-gathered arrays (args transfer H2D
+        on call): restack pixel frames (kept uint8 — the update's encoder
+        casts) and produce the update layout."""
+        T = self._horizon
+        if self._obs_frame_shape is not None:
+            obs = self._restack(obs, T)
+        return self._to_batch_layout(
+            obs, action, reward, terminated, task, n_batches)

@@ -50,8 +50,19 @@ def make_env(cfg):
     if cfg.multitask:
         env = make_multitask_env(cfg)
     elif int(cfg.get('num_envs') or 1) > 1:
-        from tdmpc2_tpu.envs.vec import make_vec_env
-        env = make_vec_env(cfg, _make_single_env)
+        mode = cfg.get('vec_mode', 'auto')
+        if mode == 'auto':
+            # rendering dominates rgb collection (~20 ms/frame software EGL);
+            # worker processes parallelize it. The toy CI env must stay
+            # in-process (workers would re-import the full package).
+            mode = ('subproc' if cfg.get('obs') == 'rgb'
+                    and not str(cfg.task).startswith('toy') else 'inproc')
+        if mode == 'subproc':
+            from tdmpc2_tpu.envs.subproc import SubprocVecEnv
+            env = SubprocVecEnv(cfg)
+        else:
+            from tdmpc2_tpu.envs.vec import make_vec_env
+            env = make_vec_env(cfg, _make_single_env)
     else:
         env = _make_single_env(cfg)
     obs_space = env.observation_space

@@ -29,6 +29,10 @@ class VecEnv:
     def reset(self):
         return np.stack([e.reset() for e in self.envs])
 
+    def reset_at(self, i: int):
+        """Reset one env copy (per-env episode boundaries, episodic tasks)."""
+        return self.envs[i].reset()
+
     def step(self, actions):
         obs, rewards, dones, infos = [], [], [], []
         for e, a in zip(self.envs, actions):

@@ -194,17 +194,20 @@ def shift_aug(key, x, pad: int = 3):
     """Random ±pad-pixel shift augmentation (reference layers.py:36-59).
 
     Instead of the reference's grid_sample formulation, we pad (edge-replicate)
-    and take a per-image dynamic crop — an exact integer-shift equivalent that
-    maps to cheap gathers on TPU. x: [N, H, W, C].
+    and take a per-image random crop — an exact integer-shift equivalent —
+    expressed as two batched `take_along_axis` gathers (rows, then columns).
+    A vmapped per-image `dynamic_slice` is ~35x slower on TPU (measured
+    188 ms vs 5 ms fwd+bwd at N=1024): XLA lowers N dynamic slices to N
+    serialized programs, while the batched gather is one fused kernel.
+    x: [N, H, W, C], any dtype (uint8 gathers are 4x cheaper than f32).
     """
     n, h, w, c = x.shape
     padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode='edge')
     shifts = jax.random.randint(key, (n, 2), 0, 2 * pad + 1)
-
-    def crop(img, s):
-        return jax.lax.dynamic_slice(img, (s[0], s[1], 0), (h, w, c))
-
-    return jax.vmap(crop)(padded, shifts)
+    rows = shifts[:, 0][:, None] + jnp.arange(h)[None]   # [N, H]
+    cols = shifts[:, 1][:, None] + jnp.arange(w)[None]   # [N, W]
+    x = jnp.take_along_axis(padded, rows[:, :, None, None], axis=1)
+    return jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
 
 
 _CONV_SPEC = ((7, 2), (5, 2), (3, 2), (3, 1))  # (kernel, stride) per layer
@@ -229,24 +232,29 @@ def conv_encoder_init(key, in_ch: int, num_channels: int, dtype=jnp.float32):
     return tuple(layers)
 
 
-def conv_encoder_apply(params, x, simnorm_dim: int, key=None, training: bool = False):
+def conv_encoder_apply(params, x, simnorm_dim: int, key=None, training: bool = False,
+                       dtype=jnp.float32):
     """x: [N, C, H, W] uint8 (channel-first, reference obs layout) -> [N, D].
 
     ShiftAug runs only in training mode (torch Dropout-style train/eval
     semantics do not apply to ShiftAug in the reference — it always runs — but
     its randomness matters only during training; we keep it always-on when a
     key is provided for exact parity).
+
+    `dtype` selects the conv compute precision: bfloat16 runs the conv stack
+    at the MXU's native width and half the HBM activation traffic (params are
+    stored f32 and cast at apply; the SimNorm output is always f32). The aug
+    runs on the input's native dtype (uint8 gathers are 4x cheaper).
     """
     x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC (TPU-friendly layout)
-    x = x.astype(jnp.float32)
     if key is not None:
         x = shift_aug(key, x)
-    x = x / 255.0 - 0.5
+    x = x.astype(dtype) / 255.0 - 0.5
     for p, (_k, stride) in zip(params, _CONV_SPEC):
         x = jax.lax.conv_general_dilated(
-            x, p['w'], window_strides=(stride, stride), padding='VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        x = x + p['b']
+            x, p['w'].astype(dtype), window_strides=(stride, stride),
+            padding='VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = x + p['b'].astype(dtype)
         x = jax.nn.relu(x)
-    x = x.reshape(x.shape[0], -1)
+    x = x.reshape(x.shape[0], -1).astype(jnp.float32)
     return simnorm(x, simnorm_dim)

@@ -428,10 +428,12 @@ class TDMPC2:
 
     def update_many(self, buffer, n: int):
         """`n` sequential learning iterations fused into one device call:
-        one batched replay gather + a `lax.scan` over the update step
-        (identical numerics/RNG chain to n `update()` calls from one draw).
-        Amortizes per-dispatch overhead for batched collection and offline
-        training; no reference counterpart."""
+        one batched replay gather + a `lax.scan` over the update step. On the
+        same n pre-drawn batches the scan is numerically identical to n
+        sequential `update()` calls (tested: tests/test_agent.py); the draw
+        stream differs from n separate `sample()` calls because all n batches
+        come from one `sample_many` draw. Amortizes per-dispatch overhead for
+        batched collection and offline training; no reference counterpart."""
         if n == 1:
             return self.update(buffer)
         batch = buffer.sample_many(n)

@@ -154,3 +154,94 @@ def test_short_episodes_dropped():
     obs, action, *_ = buf.sample()
     # the only valid start is 0: action rows 1..3, never the NaN row
     assert np.isfinite(np.asarray(action)).all()
+
+
+def _pixel_episode(ep_len, c=3, hw=4, fs=3):
+    """Value-coded pixel episode: frame at row r is all-r; the stacked obs at
+    row r is [f_max(r-2,0), f_max(r-1,0), f_r] (envs/dmcontrol.py PixelObs
+    semantics, including the repeated first frame at reset)."""
+    rows = ep_len + 1
+    frames = np.arange(rows, dtype=np.uint8)[:, None, None, None] * np.ones(
+        (rows, c, hw, hw), np.uint8)
+    obs = np.concatenate(
+        [frames[np.maximum(np.arange(rows) - k, 0)] for k in (2, 1, 0)], axis=1)
+    action = np.zeros((rows, 2), np.float32)
+    reward = np.arange(rows, dtype=np.float32)
+    terminated = np.zeros((rows,), np.float32)
+    return dict(obs=obs, action=action, reward=reward, terminated=terminated)
+
+
+def _check_restacked(buf, fs=3, c=3):
+    """Every sampled slice must carry exact [f_{t-2}, f_{t-1}, f_t] stacks
+    consistent with the per-slice reward (reward at row r is r)."""
+    obs, action, reward, terminated, _ = buf.sample()
+    obs, reward = np.asarray(obs), np.asarray(reward)
+    T = obs.shape[0] - 1
+    for b in range(obs.shape[1]):
+        # reward[t] corresponds to row start+1+t -> start = reward[0]-1
+        start = int(reward[0, b, 0]) - 1
+        for t in range(T + 1):
+            r = start + t
+            expect = [max(r - 2, 0), max(r - 1, 0), r]
+            got = [int(obs[t, b, k * c, 0, 0]) for k in range(fs)]
+            assert got == expect, (start, t, got, expect)
+
+
+def test_pixel_frames_unstacked_and_restacked_device():
+    cfg = make_cfg(ep_len=20, horizon=3, batch=8)
+    cfg.obs = 'rgb'
+    buf = Buffer(cfg)
+    for _ in range(3):
+        buf.add(_pixel_episode(20))
+    # storage holds single FLAT frames ([rows, c*H*W]), not stacks
+    assert buf._storage['obs'].shape[2:] == (3 * 4 * 4,)
+    assert buf._on_device
+    _check_restacked(buf)
+
+
+def test_pixel_frames_unstacked_and_restacked_host(monkeypatch):
+    import tdmpc2_tpu.data.buffer as buffer_mod
+    monkeypatch.setattr(buffer_mod, '_device_free_bytes', lambda: 0)
+    cfg = make_cfg(ep_len=20, horizon=3, batch=8)
+    cfg.obs = 'rgb'
+    buf = Buffer(cfg)
+    for _ in range(3):
+        buf.add(_pixel_episode(20))
+    assert not buf._on_device
+    assert buf._storage['obs'].shape[2:] == (3 * 4 * 4,)
+    _check_restacked(buf)
+    # sample_many host path: one vectorized gather, same contract
+    obs, action, reward, terminated, _ = buf.sample_many(2)
+    assert obs.shape == (2, 4, 8, 9, 4, 4)
+    buf.close()
+
+
+def test_slice_uniform_sampling_variable_lengths():
+    """Episode choice must be weighted by valid-start count (torchrl
+    SliceSampler semantics): a 2x-longer episode is sampled ~2x as often."""
+    cfg = make_cfg(ep_len=40, horizon=3, batch=64)
+    cfg.episodic = True
+    buf = Buffer(cfg)
+    short, long_ = 11, 41  # valid starts: rows - horizon = 9 vs 39
+    ep = make_episode(40)
+    buf.add({k: (v[:short] if v.ndim == 1 else v[:short]) for k, v in ep.items()}
+            | dict(valid_rows=short))
+    buf.add(dict(ep, valid_rows=long_))
+    # test both draw helpers' distributions directly
+    import jax
+    for which in ('host', 'device'):
+        if which == 'host':
+            ep_idx, start = buf._draw_slices_host(2, 200_000)
+        else:
+            ep_idx, start = buf._draw_slices_device(
+                jax.random.PRNGKey(0), np.asarray(buf._ep_rows),
+                np.int32(2), 200_000)
+        ep_idx, start = np.asarray(ep_idx), np.asarray(start)
+        frac_long = float(np.mean(ep_idx == 1))
+        w_short, w_long = short - 3, long_ - 3  # valid starts = rows - T
+        expect = w_long / (w_short + w_long)
+        assert abs(frac_long - expect) < 0.01, (which, frac_long, expect)
+        # starts stay within each episode's valid range
+        assert start[ep_idx == 0].max() == short - 4  # max_start = rows-(T+1)
+        assert start[ep_idx == 1].max() == long_ - 4
+        assert start.min() >= 0
