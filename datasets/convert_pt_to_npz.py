@@ -3,9 +3,11 @@
 
 Usage: python datasets/convert_pt_to_npz.py <pt_dir> <npz_dir>
 
-Requires torch (+ tensordict to unpickle the published chunks,
-reference: tdmpc2/trainer/offline_trainer.py:42-65 dataset layout). The
-resulting .npz chunks load without torch.
+Requires torch only — tensordict is NOT needed: the published chunks are
+unpickled with stub container classes and their tensors recovered from the
+object graph (tdmpc2_tpu/utils/torch_interop.py; reference dataset layout:
+tdmpc2/trainer/offline_trainer.py:42-65). The resulting .npz chunks load
+without torch.
 """
 
 from __future__ import annotations
@@ -18,16 +20,8 @@ import numpy as np
 
 
 def convert_chunk(fp: str, out_dir: Path) -> Path:
-    import torch
-    td = torch.load(fp, weights_only=False, map_location='cpu')
-    arrays = {}
-    for key in ('obs', 'action', 'reward', 'terminated', 'task'):
-        if key in td.keys():
-            v = td[key]
-            v = v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
-            if v.dtype == np.float64:
-                v = v.astype(np.float32)
-            arrays[key] = v
+    from tdmpc2_tpu.utils.torch_interop import read_tensordict_chunk
+    arrays = read_tensordict_chunk(fp)
     out = out_dir / (Path(fp).stem + '.npz')
     np.savez_compressed(out, **arrays)
     n, rows = arrays['reward'].shape[:2]

@@ -125,6 +125,9 @@ class Buffer:
                 static_argnames=())
             self._sample_jit = jax.jit(self._sample_device,
                            static_argnames=('n_batches',))
+            self._load_jit = jax.jit(
+                self._load_device,
+                donate_argnums=tuple(range(n_store + 1)))
 
     # ------------------------------------------------------------------- add
 
@@ -204,13 +207,112 @@ class Buffer:
             for s, e in zip(storage, eps))
         return out + (ep_rows.at[slot].set(valid),)
 
+    def reserve(self, n_episodes: int):
+        """Clamp capacity to the actual dataset size BEFORE the first write
+        (offline loading): avoids materializing the cfg-cap storage
+        (e.g. mt80 geometry) when the data is smaller."""
+        assert self._storage is None, 'reserve() must precede the first write'
+        self._capacity_eps = max(1, min(self._capacity_eps, int(n_episodes)))
+        self._capacity = self._capacity_eps * int(self.cfg.episode_length)
+
+    _LOAD_BLOCK = 256
+
     def load(self, episodes: dict) -> int:
-        """Bulk-load a batch of episodes [N, rows, ...] (offline datasets,
-        reference buffer.py:69-82)."""
-        n = episodes['reward'].shape[0]
-        for i in range(n):
-            self.add({k: v[i] for k, v in episodes.items()})
+        """Bulk-load episodes [N, rows, ...] (offline datasets, reference
+        buffer.py:69-82) in block-granularity device writes: one donated
+        `dynamic_update_slice` per <=_LOAD_BLOCK episodes instead of one
+        dispatch per episode — mt30-scale datasets (690k episodes) load in
+        ~2.7k dispatches rather than 690k.
+
+        Optional keys: 'task' ([N] or [N, rows] — per-episode scalar taken
+        from column 0), 'valid_rows' [N] for variable-length episodes.
+        """
+        episodes = dict(episodes)
+        task = episodes.pop('task', None)
+        valid = episodes.pop('valid_rows', None)
+        n = int(episodes['reward'].shape[0])
+        if task is not None:
+            task = np.asarray(task)
+            if task.ndim > 1:
+                task = task[:, 0]
+            task = task.astype(np.int32)
+        for k, v in episodes.items():
+            v = np.asarray(v)
+            if v.dtype == np.float64:
+                v = v.astype(np.float32)
+            if v.shape[1] < self._rows:
+                pad = [(0, 0), (0, self._rows - v.shape[1])] + \
+                    [(0, 0)] * (v.ndim - 2)
+                v = np.pad(v, pad)
+            episodes[k] = v
+        if valid is None:
+            valid = np.full((n,), self._rows, np.int32)
+        else:
+            valid = np.asarray(valid, np.int32)
+        # drop episodes too short for one slice (torchrl strict_length)
+        keep = valid >= self._horizon + 1
+        if not keep.all():
+            episodes = {k: v[keep] for k, v in episodes.items()}
+            valid = valid[keep]
+            if task is not None:
+                task = task[keep]
+            n = int(valid.shape[0])
+        if n == 0:
+            return self._num_eps
+        # unstack pixel frame stacks (vectorized form of add()'s path)
+        if (self._frame_stack > 1 and episodes['obs'].ndim == 5
+                and episodes['obs'].shape[2] % self._frame_stack == 0):
+            if self._obs_frame_shape is None and self._storage is None:
+                c = episodes['obs'].shape[2] // self._frame_stack
+                self._obs_frame_shape = (c,) + episodes['obs'].shape[3:]
+            if self._obs_frame_shape is not None:
+                c = self._obs_frame_shape[0]
+                episodes['obs'] = np.ascontiguousarray(
+                    episodes['obs'][:, :, -c:]).reshape(n, self._rows, -1)
+        if self._storage is None:
+            probe = {k: v[0] for k, v in episodes.items()}
+            if task is not None:
+                probe['task'] = np.zeros((self._rows,), np.int32)
+            self._init_storage(probe)
+
+        i = 0
+        while i < n:
+            slot = self._num_eps % self._capacity_eps
+            m = min(n - i, self._capacity_eps - slot, self._LOAD_BLOCK)
+            names = sorted(self._storage)
+            if self._on_device:
+                outs = self._load_jit(
+                    *[self._storage[k] for k in names],
+                    self._ep_rows,
+                    *[np.ascontiguousarray(episodes[k][i:i + m])
+                      for k in names],
+                    valid[i:i + m], np.int32(slot))
+                self._storage = dict(zip(names, outs[:-1]))
+                self._ep_rows = outs[-1]
+                if self._has_task:
+                    self._task_store = jax.lax.dynamic_update_slice_in_dim(
+                        self._task_store, jnp.asarray(task[i:i + m]), slot, 0)
+            else:
+                for k in names:
+                    self._storage[k][slot:slot + m] = episodes[k][i:i + m]
+                self._ep_rows[slot:slot + m] = valid[i:i + m]
+                if self._has_task:
+                    self._task_store[slot:slot + m] = task[i:i + m]
+            self._num_eps += m
+            i += m
         return self._num_eps
+
+    @staticmethod
+    def _load_device(*args):
+        """(storage leaves..., ep_rows, block leaves..., valid_block, slot)"""
+        n = (len(args) - 3) // 2
+        storage, ep_rows = args[:n], args[n]
+        blocks, valid, slot = args[n + 1:-2], args[-2], args[-1]
+        out = tuple(
+            jax.lax.dynamic_update_slice_in_dim(s, b.astype(s.dtype), slot, 0)
+            for s, b in zip(storage, blocks))
+        return out + (
+            jax.lax.dynamic_update_slice_in_dim(ep_rows, valid, slot, 0),)
 
     # ---------------------------------------------------------------- sample
 

@@ -159,11 +159,54 @@ class TDMPC2:
 
     # ------------------------------------------------------------ checkpoints
 
+    # cfg fields that determine the parameter pytree's structure/shapes;
+    # stored in every checkpoint and validated on load (the reference fails
+    # with an opaque size-mismatch error here, SURVEY.md §5.4)
+    _ARCH_FIELDS = (
+        'obs', 'action_dim', 'latent_dim', 'mlp_dim', 'enc_dim',
+        'num_enc_layers', 'num_channels', 'num_q', 'num_bins', 'episodic',
+        'multitask', 'task_dim', 'simnorm_dim', 'model_size')
+
+    def _arch_meta(self) -> dict:
+        meta = {k: self.cfg.get(k) for k in self._ARCH_FIELDS}
+        meta['obs_shape'] = {k: tuple(v)
+                             for k, v in dict(self.cfg.obs_shape).items()}
+        meta['num_tasks'] = len(self.cfg.tasks) if self.cfg.multitask else 1
+        return meta
+
+    @staticmethod
+    def _canon(v):
+        """Canonicalize for comparison across pickle/orbax round-trips
+        (numpy scalars -> python, lists -> tuples)."""
+        if isinstance(v, dict):
+            return {k: TDMPC2._canon(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return tuple(TDMPC2._canon(x) for x in v)
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, np.ndarray) and v.ndim == 0:
+            return v.item()
+        return v
+
+    def _check_arch(self, saved: dict):
+        mine = self._canon(self._arch_meta())
+        saved = self._canon(saved)
+        diffs = {k: (saved.get(k), mine.get(k))
+                 for k in mine if saved.get(k) != mine.get(k)}
+        if diffs:
+            lines = ', '.join(
+                f'{k}: checkpoint={a!r} vs cfg={b!r}' for k, (a, b) in diffs.items())
+            raise ValueError(
+                f'checkpoint architecture does not match the configured '
+                f'model ({lines}) — re-run with a matching config '
+                f'(e.g. model_size/task/obs)')
+
     def save(self, fp, extra: Optional[dict] = None):
         """Save agent state (reference tdmpc2.py:72-79 saves model weights
         only; we save the full train state — params, target Q, both optimizer
-        states, running scale, PRNG key — plus optional trainer metadata
-        (`extra`, e.g. step counters) so runs are preemption-resumable."""
+        states, running scale, PRNG key — plus architecture metadata
+        (validated on load) and optional trainer metadata (`extra`, e.g.
+        step counters) so runs are preemption-resumable."""
         blob = jax.tree.map(np.asarray, {
             'model': self.state.params,
             'target_Qs': self.state.target_Qs,
@@ -172,6 +215,7 @@ class TDMPC2:
             'scale': self.state.scale,
             'key': self.state.key,
         })
+        blob['arch'] = self._arch_meta()
         if extra:
             blob['extra'] = dict(extra)
         fp = str(fp)
@@ -192,9 +236,22 @@ class TDMPC2:
 
     def load(self, fp) -> dict:
         """Load agent state from a filepath or dict (reference
-        tdmpc2.py:81-95). Returns the checkpoint's `extra` metadata dict."""
+        tdmpc2.py:81-95). Returns the checkpoint's `extra` metadata dict.
+
+        Accepts this repo's pickle/Orbax checkpoints AND the reference's
+        published torch ``.pt`` checkpoints (old or new API key scheme —
+        reference common/layers.py:167-221), which are converted into the
+        native param pytree on the fly (utils/torch_interop.py)."""
         if isinstance(fp, dict):
             blob = fp
+        elif str(fp).endswith('.pt'):
+            from tdmpc2_tpu.utils import torch_interop
+            params, target = torch_interop.load_reference_checkpoint(
+                fp, self.state.params)
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, params),
+                target_Qs=jax.tree.map(jnp.asarray, target))
+            return {}
         elif str(fp).endswith('.orbax'):
             import orbax.checkpoint as ocp
             blob = ocp.PyTreeCheckpointer().restore(
@@ -202,6 +259,19 @@ class TDMPC2:
         else:
             with open(fp, 'rb') as f:
                 blob = pickle.load(f)
+        model = blob.get('model', blob)
+        if isinstance(model, dict) and any(
+                str(k).startswith('_') and '.' in str(k) for k in model):
+            # reference-format state_dict passed as a dict (ref tdmpc2.py:87-90)
+            from tdmpc2_tpu.utils import torch_interop
+            params, target = torch_interop.convert_reference_state_dict(
+                blob if 'model' in blob else model, self.state.params)
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, params),
+                target_Qs=jax.tree.map(jnp.asarray, target))
+            return {}
+        if isinstance(blob.get('arch'), dict):
+            self._check_arch(blob['arch'])
         params = jax.tree.map(jnp.asarray, blob['model'])
         target = jax.tree.map(
             jnp.asarray, blob.get('target_Qs', params['Qs']))

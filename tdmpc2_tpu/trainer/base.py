@@ -18,3 +18,15 @@ class Trainer:
 
     def train(self):
         raise NotImplementedError
+
+    def finish(self):
+        """End-of-run teardown: stop the buffer's prefetch thread (if any),
+        worker-process envs, and flush/save via the logger."""
+        self.logger.finish(self.agent)
+        if hasattr(self.buffer, 'close'):
+            self.buffer.close()
+        if hasattr(self.env, 'close'):
+            try:
+                self.env.close()
+            except Exception:
+                pass

@@ -6,8 +6,10 @@ Mirrors the reference semantics (reference: tdmpc2/trainer/offline_trainer.py:
 `eval_freq` iterations with per-domain aggregation and checkpointing.
 
 Datasets: native `.npz` chunks (arrays 'obs','action','reward','task' shaped
-[num_eps, rows, ...]) are loaded directly. The reference's TensorDict `.pt`
-chunks are loaded through torch when the tensordict package is available.
+[num_eps, rows, ...]) are loaded directly. The reference's published
+TensorDict `.pt` chunks are read WITHOUT the tensordict package via the
+tolerant unpickler (utils/torch_interop.py). Loading is block-vectorized
+(Buffer.load) and storage is sized to the dataset, not the cfg cap.
 """
 
 from __future__ import annotations
@@ -27,14 +29,23 @@ def _load_chunk(fp: str) -> dict:
         with np.load(fp) as z:
             return {k: z[k] for k in z.files}
     if fp.endswith('.pt'):
-        import torch
-        td = torch.load(fp, weights_only=False, map_location='cpu')
-        out = {}
-        for k in ('obs', 'action', 'reward', 'terminated', 'task'):
-            if k in td.keys():
-                out[k] = td[k].numpy()
-        return out
+        # published TensorDict chunks, read WITHOUT tensordict
+        # (utils/torch_interop.py stub unpickler)
+        from tdmpc2_tpu.utils.torch_interop import read_tensordict_chunk
+        return read_tensordict_chunk(fp)
     raise ValueError(f'Unknown dataset format: {fp}')
+
+
+def _npz_episode_count(fp: str) -> int:
+    """Episode count of an .npz chunk from the zip member header only
+    (no array data read) — lets the buffer be sized to the dataset."""
+    import zipfile
+    from numpy.lib import format as npf
+    with zipfile.ZipFile(fp) as z:
+        with z.open('reward.npy') as f:
+            version = npf.read_magic(f)
+            shape, _, _ = npf._read_array_header(f, version)
+    return int(shape[0])
 
 
 class OfflineTrainer(Trainer):
@@ -78,16 +89,14 @@ class OfflineTrainer(Trainer):
             _cfg.episode_length, _cfg.buffer_size = 500, 345_690_000
         _cfg.steps = _cfg.buffer_size
         self.buffer = Buffer(_cfg)
+        if all(fp.endswith('.npz') for fp in fps):
+            # size storage to the dataset, not the cfg cap (header-only scan)
+            self.buffer.reserve(sum(_npz_episode_count(fp) for fp in fps))
         for fp in fps:
             chunk = _load_chunk(fp)
             n = chunk['reward'].shape[0]
             print(f'  loading {os.path.basename(fp)}: {n} episodes')
-            for i in range(n):
-                ep = {k: v[i] for k, v in chunk.items()}
-                task = ep.pop('task', None)
-                if task is not None:
-                    ep['task'] = int(np.asarray(task).ravel()[0])
-                self.buffer.add(ep)
+            self.buffer.load(chunk)
         print(f'Loaded {self.buffer.num_eps} episodes.')
 
     def train(self):
@@ -122,4 +131,4 @@ class OfflineTrainer(Trainer):
                     if i > 0:
                         self.logger.save_agent(self.agent, identifier=f'{i}')
                 self.logger.log(metrics, 'pretrain')
-        self.logger.finish(self.agent)
+        self.finish()

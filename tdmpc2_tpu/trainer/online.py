@@ -168,4 +168,4 @@ class OnlineTrainer(Trainer):
 
             self._step += 1
 
-        self.logger.finish(self.agent)
+        self.finish()

@@ -173,4 +173,4 @@ class VecOnlineTrainer(OnlineTrainer):
                 self.logger.log(train_metrics, 'train')
                 ep_rewards, ep_successes, ep_lengths, ep_terms = [], [], [], []
 
-        self.logger.finish(self.agent)
+        self.finish()

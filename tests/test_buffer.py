@@ -245,3 +245,82 @@ def test_slice_uniform_sampling_variable_lengths():
         assert start[ep_idx == 0].max() == short - 4  # max_start = rows-(T+1)
         assert start[ep_idx == 1].max() == long_ - 4
         assert start.min() >= 0
+
+
+def test_bulk_load_matches_per_episode_add():
+    """Vectorized load() must land the same storage contents / ep_rows /
+    task entries as N sequential add() calls."""
+    cfg = make_cfg(buffer_size=200)
+    n = 6
+    eps = [make_episode(20, ep_id=i) for i in range(n)]
+    stacked = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+    stacked['task'] = np.arange(n, dtype=np.int64)
+
+    buf_a = Buffer(make_cfg(buffer_size=200))
+    for i, e in enumerate(eps):
+        buf_a.add(dict(e, task=i))
+    buf_b = Buffer(make_cfg(buffer_size=200))
+    buf_b.load(stacked)
+
+    assert buf_b.num_eps == buf_a.num_eps == n
+    for k in buf_a._storage:
+        np.testing.assert_array_equal(
+            np.asarray(buf_a._storage[k]), np.asarray(buf_b._storage[k]))
+    np.testing.assert_array_equal(
+        np.asarray(buf_a._ep_rows), np.asarray(buf_b._ep_rows))
+    np.testing.assert_array_equal(
+        np.asarray(buf_a._task_store), np.asarray(buf_b._task_store))
+
+
+def test_bulk_load_ring_wraparound_and_blocks():
+    """Loads larger than capacity wrap the ring exactly like add()."""
+    cfg = make_cfg(buffer_size=100)  # 5 episodes x 20
+    buf = Buffer(cfg)
+    n = 8
+    eps = [make_episode(20, ep_id=i) for i in range(n)]
+    stacked = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+    buf.load(stacked)
+    assert buf.num_eps == n
+    # slots hold the newest episodes at their modulo positions
+    cap = buf._capacity_eps
+    for i in range(n - cap, n):
+        slot = i % cap
+        assert np.asarray(buf._storage['reward'])[slot, 1] == float(i)
+
+
+def test_bulk_load_variable_lengths_and_short_drop():
+    cfg = make_cfg(buffer_size=500)
+    cfg.episodic = True
+    buf = Buffer(cfg)
+    n = 4
+    eps = [make_episode(20, ep_id=i) for i in range(n)]
+    stacked = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+    valid = np.array([21, 10, 2, 15], np.int32)  # 2 is < horizon+1 -> dropped
+    buf.load(dict(stacked, valid_rows=valid))
+    assert buf.num_eps == 3
+    got = np.asarray(buf._ep_rows)[:3]
+    np.testing.assert_array_equal(got, [21, 10, 15])
+
+
+def test_reserve_sizes_capacity_to_dataset():
+    cfg = make_cfg(buffer_size=10_000)
+    buf = Buffer(cfg)
+    buf.reserve(7)
+    assert buf._capacity_eps == 7
+    eps = [make_episode(20, ep_id=i) for i in range(3)]
+    stacked = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+    buf.load(stacked)
+    assert buf._storage['reward'].shape[0] == 7
+    obs, *_ = buf.sample()
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_bulk_load_pixels_unstacked():
+    cfg = make_cfg(ep_len=20, horizon=3, batch=8)
+    cfg.obs = 'rgb'
+    buf = Buffer(cfg)
+    eps = [_pixel_episode(20) for _ in range(3)]
+    stacked = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+    buf.load(stacked)
+    assert buf._storage['obs'].shape[2:] == (3 * 4 * 4,)
+    _check_restacked(buf)

@@ -2,6 +2,7 @@
 the reference cannot resume; we checkpoint the full train state + counters)."""
 
 import numpy as np
+import pytest
 
 from tdmpc2_tpu.config import Config, parse_cfg
 from tdmpc2_tpu.data.buffer import Buffer
@@ -94,3 +95,22 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     extra = agent2.load(str(fp))
     assert int(extra['step']) == 43
     assert jnp_leaves_equal(agent.state.params, agent2.state.params)
+
+
+def test_checkpoint_arch_mismatch_raises(tmp_path):
+    """Checkpoints carry architecture metadata; loading into a mismatched
+    cfg must fail with a clear error, not an opaque tree error."""
+    cfg = _cfg(tmp_path)
+    make_env(cfg)
+    agent = TDMPC2(cfg)
+    fp = tmp_path / 'ck.pkl'
+    agent.save(fp, extra={'step': 7})
+
+    bad_cfg = _cfg(tmp_path, mlp_dim=64)
+    make_env(bad_cfg)
+    other = TDMPC2(bad_cfg)
+    with pytest.raises(ValueError, match='architecture does not match'):
+        other.load(fp)
+    # matching arch still loads and returns extra metadata
+    again = TDMPC2(cfg)
+    assert again.load(fp)['step'] == 7
