@@ -44,11 +44,12 @@ class VideoRecorder:
     """Records eval episode frames and writes mp4 via imageio
     (reference logger.py:78-103)."""
 
-    def __init__(self, work_dir, fps: int = 15):
+    def __init__(self, work_dir, fps: int = 15, wandb_run=None):
         self._dir = Path(work_dir) / 'videos'
         self.fps = fps
         self.frames = []
         self.enabled = False
+        self.wandb_run = wandb_run  # set by Logger after wandb.init
 
     def init(self, env, enabled: bool = True):
         self.frames = []
@@ -74,6 +75,16 @@ class VideoRecorder:
             except Exception:  # no mp4 backend (ffmpeg): fall back to gif
                 fp = self._dir / f'{step}.gif'
                 imageio.mimsave(str(fp), self.frames, fps=self.fps)
+            if self.wandb_run is not None:
+                try:  # eval episode video to wandb (reference logger.py:96-103)
+                    import wandb
+                    frames = np.stack(self.frames).transpose(0, 3, 1, 2)
+                    self.wandb_run.log(
+                        {'eval_video': wandb.Video(frames, fps=self.fps,
+                                                   format='mp4')},
+                        step=int(step))
+                except Exception:
+                    pass
             return fp
         except Exception:
             return None
@@ -100,6 +111,8 @@ class Logger:
                     tags=[str(cfg.seed)], config=vars(cfg))
             except Exception as e:
                 print(f'wandb unavailable ({e}); continuing without it.')
+        if self.video is not None:
+            self.video.wandb_run = self._wandb
         self.print_run()
 
     def print_run(self):
@@ -168,6 +181,17 @@ class Logger:
         self._model_dir.mkdir(parents=True, exist_ok=True)
         fp = self._model_dir / f'{identifier}.pkl'
         agent.save(fp, extra=extra)
+        if self._wandb is not None:
+            try:  # checkpoint artifact to wandb (reference logger.py:155-165)
+                import wandb
+                cfg = self.cfg
+                artifact = wandb.Artifact(
+                    f'{cfg.task}-{cfg.exp_name}-{cfg.seed}-{identifier}',
+                    type='model')
+                artifact.add_file(str(fp))
+                self._wandb.log_artifact(artifact)
+            except Exception:
+                pass
         return fp
 
     def finish(self, agent=None):
