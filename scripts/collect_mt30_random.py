@@ -37,6 +37,8 @@ def main():
     ap.add_argument('--chunk-eps', type=int, default=150,
                     help='episodes per .npz chunk file')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--chunk-offset', type=int, default=0,
+                    help='first chunk index (append to an existing dir)')
     ap.add_argument('--nice', type=int, default=0,
                     help='renice self (run politely next to a training job)')
     ap.add_argument('--tasks', nargs='*', default=None,
@@ -67,7 +69,7 @@ def main():
           f'rows={rows}')
 
     rng = np.random.default_rng(args.seed)
-    buf, chunk_idx, n_total = [], 0, 0
+    buf, chunk_idx, n_total = [], args.chunk_offset, 0
     t_start = time.time()
 
     def flush():

@@ -140,6 +140,9 @@ class Config:
 
     # parallelism (no reference counterpart; TPU-native additions)
     mesh_shape: Optional[str] = None     # e.g. "4x2" -> (data=4, model=2); None = single device
+    # JAX platform override ('cpu' runs the full CLI off-TPU, e.g. while
+    # another process owns the chip); None = environment default
+    platform: Optional[str] = None
     # XLA matmul precision for f32 operands: 'default' (fast single-pass
     # bf16 on the MXU), 'high', or 'highest' (full f32, ~3-6x slower)
     matmul_precision: str = 'default'

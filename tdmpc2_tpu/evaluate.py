@@ -23,6 +23,10 @@ from tdmpc2_tpu.utils.seed import set_seed
 
 def evaluate(cfg):
     assert cfg.checkpoint, 'Must specify a checkpoint to evaluate.'
+    if cfg.platform:
+        # must precede every jax op: the backend freezes at first use
+        import jax
+        jax.config.update('jax_platforms', cfg.platform)
     set_seed(cfg.seed)
     env = make_env(cfg)
     agent = TDMPC2(cfg)

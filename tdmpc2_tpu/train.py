@@ -37,6 +37,10 @@ def _enable_compilation_cache():
 
 def train(cfg):
     assert cfg.steps > 0, 'Must train for at least 1 step.'
+    if cfg.platform:
+        # must precede every jax op: the backend freezes at first use
+        import jax
+        jax.config.update('jax_platforms', cfg.platform)
     _enable_compilation_cache()
     if cfg.matmul_precision != 'default':
         import jax
