@@ -33,22 +33,32 @@ run mt30 10800 python train.py task=mt30 model_size=19 \
   exp_name=r2-mt30-rand seed=1
 python scripts/export_results.py mt30 1 r2-mt30-rand tdmpc2_tpu 2>/dev/null
 
+# gate: the fused CEM value kernel must compile+run on the real chip;
+# otherwise fall back to the XLA planner for the state runs
+UP=""
+if ! timeout 600 python scripts/smoke_value_kernel.py > /tmp/q_smoke.log 2>&1; then
+  UP="use_pallas=false"
+  log "fused value kernel smoke FAILED -> running with use_pallas=false"
+else
+  log "fused value kernel smoke OK"
+fi
+
 # 2-4. broaden state-based task coverage to >=5 tasks @1M (VERDICT #4)
 run cheetah 14400 python train.py task=cheetah-run num_envs=8 steps=1000000 \
-  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=1 resume=true
+  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=1 resume=true $UP
 python scripts/export_results.py cheetah-run 1 r2
 
 run fingerspin 14400 python train.py task=finger-spin num_envs=8 steps=1000000 \
-  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=1 resume=true
+  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=1 resume=true $UP
 python scripts/export_results.py finger-spin 1 r2
 
 run acrobot 14400 python train.py task=acrobot-swingup num_envs=8 steps=1000000 \
-  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=1 resume=true
+  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=1 resume=true $UP
 python scripts/export_results.py acrobot-swingup 1 r2
 
 # 5. second seed on the flagship task
 run walker_s2 14400 python train.py task=walker-walk num_envs=8 steps=1000000 \
-  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=2 resume=true
+  eval_freq=50000 eval_episodes=10 buffer_device=device exp_name=r2 seed=2 resume=true $UP
 python scripts/export_results.py walker-walk 2 r2
 
 log "queue drained"

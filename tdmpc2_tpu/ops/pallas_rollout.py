@@ -212,8 +212,230 @@ def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
                             interpret=interpret)
 
 
+def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
+    """Compile + execute the fused value kernel once on tiny shapes.
+
+    Run at agent construction on TPU: if Mosaic fails to lower/compile/run
+    the kernel on this chip/toolchain, the agent falls back to the XLA
+    planner instead of dying inside the first jitted plan. Returns True on
+    success; any exception (lowering, OOM, runtime) returns False.
+    """
+    import numpy as np
+    try:
+        prep = prepare_value_params(params, cfg)
+        # S=128 -> one grid block of exactly the production block shape
+        # (the planner runs S=num_samples=512 as a 4-program grid of 128)
+        S, L, A, H = 128, cfg.latent_dim, cfg.action_dim, cfg.horizon
+        z0 = jnp.full((S, L), 1.0 / L, jnp.float32)
+        actions = jnp.zeros((H, S, A), jnp.float32)
+        eps = jnp.zeros((S, A), jnp.float32)
+        qidx = jnp.arange(2, dtype=jnp.int32)
+        G = value_prepared(prep, z0, actions, eps, qidx,
+                           horizon=H, discount=0.99,
+                           log_std_min=float(log_std_min),
+                           log_std_dif=float(log_std_dif))
+        return bool(np.isfinite(np.asarray(G)).all())
+    except Exception as e:  # noqa: BLE001 — any failure means "use XLA"
+        print(f'[tdmpc2-tpu] fused value kernel probe failed ({type(e).__name__}: '
+              f'{e}); falling back to the XLA planner', flush=True)
+        return False
+
+
 def rollout_supported(cfg) -> bool:
     """Static gate: the fused kernel covers the single-task, non-episodic,
     two-hot (num_bins>1) planner configuration."""
     return (not cfg.multitask and not cfg.episodic
             and cfg.num_bins > 1 and cfg.latent_dim % cfg.simnorm_dim == 0)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused CEM value estimate: rollout + terminal pi + 2-of-N Q decode.
+#
+# Extends the rollout kernel with the terminal bootstrap of
+# `TDMPC2._estimate_value` (reference tdmpc2.py:122-136): after the H-step
+# reward/dynamics rollout it evaluates the policy prior at z_H (tanh-squashed
+# Gaussian sample), then the Q-ensemble on (z_H, a) for the two randomly
+# subsampled heads (reference world_model.py:186-216), decodes both with the
+# two-hot inverse, and returns G + gamma^H * mean(Q). Everything — all five
+# MLPs' weights and every activation — stays VMEM-resident, so one CEM
+# iteration is a single MXU-bound program; the only XLA work left per
+# iteration is the [S]-sized top-k/softmax moment update.
+#
+# RNG parity with the XLA path: the policy's eps ~ N(0,1) sample and the
+# 2-of-num_q head choice are data inputs, generated OUTSIDE with the exact
+# key-split sequence of the XLA `_estimate_value`.
+# ---------------------------------------------------------------------------
+
+
+def _value_kernel(
+    z0_ref, actions_ref, eps_ref, qidx_ref,
+    dWz_ref, dWa_ref, db0_ref, dg0_ref, de0_ref,
+    dW1_ref, db1_ref, dg1_ref, de1_ref,
+    dW2_ref, db2_ref, dg2_ref, de2_ref,
+    rWz_ref, rWa_ref, rb0_ref, rg0_ref, re0_ref,
+    rW1_ref, rb1_ref, rg1_ref, re1_ref,
+    rW2_ref, rb2_ref,
+    pW0_ref, pb0_ref, pg0_ref, pe0_ref,
+    pW1_ref, pb1_ref, pg1_ref, pe1_ref,
+    pWm_ref, pbm_ref, pWl_ref, pbl_ref,
+    qWz_ref, qWa_ref, qb0_ref, qg0_ref, qe0_ref,
+    qW1_ref, qb1_ref, qg1_ref, qe1_ref,
+    qW2_ref, qb2_ref,
+    bins_ref, gmask_ref,
+    G_ref,
+    *, horizon: int, discount: float, dot_dtype,
+    log_std_min: float, log_std_dif: float,
+):
+    f32 = jnp.float32
+
+    def dot(x, w):
+        # weights arrive pre-cast to dot_dtype; accumulation is always f32
+        return jnp.dot(x.astype(dot_dtype), w, preferred_element_type=f32)
+
+    def two_hot_dec(logits):
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        x = (jnp.sum(e * bins_ref[:], axis=-1, keepdims=True)
+             / jnp.sum(e, axis=-1, keepdims=True))
+        # symexp via exp-1 (expm1 not lowered by Mosaic; ~1e-7 abs error)
+        return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
+
+    z = z0_ref[:]                                     # [S, L]
+    G = jnp.zeros((z.shape[0], 128), f32)             # lane-padded accumulator
+    disc = 1.0
+
+    for t in range(horizon):
+        a = actions_ref[t]                            # [S, A]
+        u = dot(z, rWz_ref[:]) + dot(a, rWa_ref[:]) + rb0_ref[:]
+        u = _mish(_ln(u, rg0_ref[:], re0_ref[:]))
+        u = dot(u, rW1_ref[:]) + rb1_ref[:]
+        u = _mish(_ln(u, rg1_ref[:], re1_ref[:]))
+        G = G + disc * two_hot_dec(dot(u, rW2_ref[:]) + rb2_ref[:])
+        disc = disc * discount
+
+        v = dot(z, dWz_ref[:]) + dot(a, dWa_ref[:]) + db0_ref[:]
+        v = _mish(_ln(v, dg0_ref[:], de0_ref[:]))
+        v = dot(v, dW1_ref[:]) + db1_ref[:]
+        v = _mish(_ln(v, dg1_ref[:], de1_ref[:]))
+        v = dot(v, dW2_ref[:]) + db2_ref[:]
+        v = _ln(v, dg2_ref[:], de2_ref[:])
+        mv = jnp.max(v, axis=-1, keepdims=True)
+        ev = jnp.exp(v - mv)
+        z = ev / dot(ev, gmask_ref[:])                # grouped softmax
+
+    # -- terminal policy prior: a = tanh(mean + eps * exp(log_std))
+    u = dot(z, pW0_ref[:]) + pb0_ref[:]
+    u = _mish(_ln(u, pg0_ref[:], pe0_ref[:]))
+    u = dot(u, pW1_ref[:]) + pb1_ref[:]
+    u = _mish(_ln(u, pg1_ref[:], pe1_ref[:]))
+    mean = dot(u, pWm_ref[:]) + pbm_ref[:]
+    lstd = dot(u, pWl_ref[:]) + pbl_ref[:]
+    lstd = log_std_min + 0.5 * log_std_dif * (jnp.tanh(lstd) + 1.0)
+    a = jnp.tanh(mean + eps_ref[:] * jnp.exp(lstd))   # [S, A]
+
+    # -- 2-of-num_q Q bootstrap, 'avg' decode
+    q_acc = jnp.zeros((z.shape[0], 1), f32)
+    for j in range(2):
+        i = qidx_ref[j]
+        u = dot(z, qWz_ref[i]) + dot(a, qWa_ref[i]) + qb0_ref[pl.ds(i, 1), :]
+        u = _mish(_ln(u, qg0_ref[pl.ds(i, 1), :], qe0_ref[pl.ds(i, 1), :]))
+        u = dot(u, qW1_ref[i]) + qb1_ref[pl.ds(i, 1), :]
+        u = _mish(_ln(u, qg1_ref[pl.ds(i, 1), :], qe1_ref[pl.ds(i, 1), :]))
+        q_acc = q_acc + two_hot_dec(dot(u, qW2_ref[i]) + qb2_ref[pl.ds(i, 1), :])
+
+    G_ref[:] = G + disc * (q_acc / 2.0)
+
+
+def prepare_value_params(params, cfg, dot_dtype=jnp.bfloat16):
+    """Pre-slice/cast every weight operand of the fused value kernel.
+
+    Weights are loop-invariant across CEM iterations (and change only at
+    update time); preparing once per plan keeps the kernel call free of
+    cast/split/kron work. Returns a flat tuple of arrays.
+    """
+    L, A = cfg.latent_dim, cfg.action_dim
+    dyn, rew, pi, qs = (params['dynamics'], params['reward'], params['pi'],
+                        params['Qs'])
+    B = rew[2]['w'].shape[-1]
+    bins = jnp.linspace(cfg.vmin, cfg.vmax, B, dtype=jnp.float32)
+    gmask = jnp.kron(jnp.eye(L // cfg.simnorm_dim, dtype=jnp.float32),
+                     jnp.ones((cfg.simnorm_dim, cfg.simnorm_dim), jnp.float32))
+
+    def w(x):
+        return x.astype(dot_dtype)
+
+    return (
+        # dynamics
+        w(dyn[0]['w'][:L]), w(dyn[0]['w'][L:]), _as_row(dyn[0]['b']),
+        _as_row(dyn[0]['ln_w']), _as_row(dyn[0]['ln_b']),
+        w(dyn[1]['w']), _as_row(dyn[1]['b']),
+        _as_row(dyn[1]['ln_w']), _as_row(dyn[1]['ln_b']),
+        w(dyn[2]['w']), _as_row(dyn[2]['b']),
+        _as_row(dyn[2]['ln_w']), _as_row(dyn[2]['ln_b']),
+        # reward
+        w(rew[0]['w'][:L]), w(rew[0]['w'][L:]), _as_row(rew[0]['b']),
+        _as_row(rew[0]['ln_w']), _as_row(rew[0]['ln_b']),
+        w(rew[1]['w']), _as_row(rew[1]['b']),
+        _as_row(rew[1]['ln_w']), _as_row(rew[1]['ln_b']),
+        w(rew[2]['w']), _as_row(rew[2]['b']),
+        # policy prior (final linear split into mean/log_std halves)
+        w(pi[0]['w']), _as_row(pi[0]['b']),
+        _as_row(pi[0]['ln_w']), _as_row(pi[0]['ln_b']),
+        w(pi[1]['w']), _as_row(pi[1]['b']),
+        _as_row(pi[1]['ln_w']), _as_row(pi[1]['ln_b']),
+        w(pi[2]['w'][:, :A]), _as_row(pi[2]['b'][:A]),
+        w(pi[2]['w'][:, A:]), _as_row(pi[2]['b'][A:]),
+        # Q ensemble, stacked [num_q, ...]; heads picked in-kernel by qidx
+        w(qs[0]['w'][:, :L]), w(qs[0]['w'][:, L:]), qs[0]['b'],
+        qs[0]['ln_w'], qs[0]['ln_b'],
+        w(qs[1]['w']), qs[1]['b'], qs[1]['ln_w'], qs[1]['ln_b'],
+        w(qs[2]['w']), qs[2]['b'],
+        # constants
+        _as_row(bins), w(gmask),
+    )
+
+
+def value_prepared(prep, z0, actions, eps, qidx, *, horizon: int,
+                   discount: float, log_std_min: float, log_std_dif: float,
+                   dot_dtype=jnp.bfloat16, interpret: bool = False,
+                   block_s: int = 128):
+    """Fused CEM value estimate with pre-prepared weights.
+
+    z0 [S, L]; actions [H, S, A]; eps [S, A] (policy-sample noise);
+    qidx [2] int32 (Q-head subsample). Returns value [S, 1].
+    """
+    S, L = z0.shape
+    H, _, A = actions.shape
+    kernel = functools.partial(
+        _value_kernel, horizon=horizon, discount=float(discount),
+        dot_dtype=dot_dtype, log_std_min=float(log_std_min),
+        log_std_dif=float(log_std_dif))
+
+    if S % block_s != 0:
+        block_s = S
+
+    def const_spec(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((block_s, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, block_s, A), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_s, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+    ] + [const_spec(p) for p in prep]
+
+    G = pl.pallas_call(
+        kernel,
+        grid=(S // block_s,),
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_s, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(z0, actions, eps, qidx.astype(jnp.int32), *prep)
+    return G[:, :1]

@@ -111,6 +111,15 @@ class TDMPC2:
             from tdmpc2_tpu import parallel
             self.state = parallel.shard_state(self.state, mesh, min_size=128)
 
+        # Probe the fused kernel once on real hardware before committing the
+        # compiled planner to it: a Mosaic lowering/runtime failure degrades
+        # to the XLA planner instead of failing inside the first jitted plan.
+        if self._fused_rollout:
+            from tdmpc2_tpu.ops.pallas_rollout import probe_value_kernel
+            self._fused_rollout = probe_value_kernel(
+                self.state.params, cfg,
+                self.model.log_std_min, self.model.log_std_dif)
+
         # Compiled entry points. eval_mode is a static branch -> two planner
         # variants (reference lazily torch.compiles _plan, tdmpc2.py:45-55).
         # The vectorized planner vmaps the single-obs MPPI kernel over a
@@ -351,20 +360,23 @@ class TDMPC2:
         """
         cfg = self.cfg
         if self._fused_rollout:
-            from tdmpc2_tpu.ops.pallas_rollout import (prepare_rollout_params,
-                                                       rollout_prepared)
+            # fully fused CEM value estimate: rollout + terminal pi + 2-of-N
+            # Q decode in one VMEM-resident kernel. eps/qidx are generated
+            # here with the exact key-split sequence of the XLA path below
+            # (pi's normal sample, Q's head permutation) for RNG parity.
+            from tdmpc2_tpu.ops.pallas_rollout import (prepare_value_params,
+                                                       value_prepared)
             if prep is None:
-                prep = prepare_rollout_params(
-                    params['dynamics'], params['reward'], cfg.latent_dim,
-                    cfg.simnorm_dim, cfg.vmin, cfg.vmax)
-            G, zH = rollout_prepared(
-                prep, z, actions,
-                horizon=cfg.horizon, discount=float(self.discount))
+                prep = prepare_value_params(params, cfg)
             k_pi, k_q = jax.random.split(key)
-            action, _ = self.model.pi(params, zH, k_pi, task)
-            q = self.model.Q(params, zH, action, key=k_q, task=task,
-                             return_type='avg')
-            return G + (float(self.discount) ** cfg.horizon) * q
+            eps = jax.random.normal(
+                k_pi, (z.shape[0], cfg.action_dim), jnp.float32)
+            qidx = jax.random.permutation(k_q, cfg.num_q)[:2]
+            return value_prepared(
+                prep, z, actions, eps, qidx,
+                horizon=cfg.horizon, discount=float(self.discount),
+                log_std_min=self.model.log_std_min,
+                log_std_dif=self.model.log_std_dif)
 
         discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
 
@@ -416,13 +428,11 @@ class TDMPC2:
             _, pi_actions = jax.lax.scan(
                 pi_step, zp, jax.random.split(k_pi_roll, H))  # [H, n_pi, A]
 
-        # pre-cast/slice the fused-rollout weights once per plan, outside
+        # pre-cast/slice the fused-kernel weights once per plan, outside
         # the CEM loop (weights are loop-invariant)
         if self._fused_rollout:
-            from tdmpc2_tpu.ops.pallas_rollout import prepare_rollout_params
-            prep = prepare_rollout_params(
-                params['dynamics'], params['reward'], cfg.latent_dim,
-                cfg.simnorm_dim, cfg.vmin, cfg.vmax)
+            from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params
+            prep = prepare_value_params(params, cfg)
         else:
             prep = None
 

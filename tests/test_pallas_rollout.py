@@ -71,6 +71,78 @@ def test_rollout_supported_gate():
     assert not rollout_supported(C)
 
 
+def test_fused_value_kernel_matches_agent_estimate():
+    """The fully fused CEM value kernel (rollout + terminal pi + 2-of-N Q
+    decode, ops/pallas_rollout._value_kernel) must reproduce the agent's XLA
+    `_estimate_value` exactly (same params, same RNG chain, f32 dots)."""
+    from tdmpc2_tpu.config import Config, parse_cfg
+    from tdmpc2_tpu.ops.pallas_rollout import (prepare_value_params,
+                                               value_prepared)
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+    cfg = parse_cfg(Config(task='toy'))
+    cfg.obs_shape = {'state': (10,)}
+    cfg.action_dim = 4
+    cfg.episode_length = 20
+    cfg.enc_dim, cfg.mlp_dim, cfg.latent_dim = 64, 64, 32
+    cfg.num_samples, cfg.num_elites, cfg.num_pi_trajs = 64, 8, 8
+    cfg.iterations, cfg.num_q = 2, 3
+    agent = TDMPC2(cfg)               # CPU -> _fused_rollout False: XLA path
+    assert not agent._fused_rollout
+    params = agent.state.params
+
+    key = jax.random.PRNGKey(3)
+    kz, ka, kv = jax.random.split(key, 3)
+    S, L, A, H = 32, cfg.latent_dim, cfg.action_dim, cfg.horizon
+    z0 = layers.simnorm(jax.random.normal(kz, (S, L)), cfg.simnorm_dim)
+    actions = jax.random.uniform(ka, (H, S, A), minval=-1, maxval=1)
+
+    ref = agent._estimate_value(params, z0, actions, kv, None)
+
+    # identical key-split sequence to the agent's fused branch
+    k_pi, k_q = jax.random.split(kv)
+    eps = jax.random.normal(k_pi, (S, A), jnp.float32)
+    qidx = jax.random.permutation(k_q, cfg.num_q)[:2]
+    prep = prepare_value_params(params, cfg, dot_dtype=jnp.float32)
+    got = value_prepared(
+        prep, z0, actions, eps, qidx, horizon=H,
+        discount=float(agent.discount),
+        log_std_min=agent.model.log_std_min,
+        log_std_dif=agent.model.log_std_dif,
+        dot_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # grid-blocked variant (multiple programs over samples) is identical
+    got_blk = value_prepared(
+        prep, z0, actions, eps, qidx, horizon=H,
+        discount=float(agent.discount),
+        log_std_min=agent.model.log_std_min,
+        log_std_dif=agent.model.log_std_dif,
+        dot_dtype=jnp.float32, interpret=True, block_s=16)
+    np.testing.assert_allclose(np.asarray(got_blk), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_probe_value_kernel_never_raises():
+    """The construction-time hardware probe must return a bool and swallow
+    every failure mode (it gates the planner fallback; an exception here
+    would kill agent construction)."""
+    from tdmpc2_tpu.config import Config, parse_cfg
+    from tdmpc2_tpu.ops.pallas_rollout import probe_value_kernel
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+    cfg = parse_cfg(Config(task='toy'))
+    cfg.obs_shape = {'state': (10,)}
+    cfg.action_dim = 4
+    cfg.episode_length = 20
+    cfg.enc_dim, cfg.mlp_dim, cfg.latent_dim = 64, 64, 32
+    agent = TDMPC2(cfg)
+    ok = probe_value_kernel(agent.state.params, cfg,
+                            agent.model.log_std_min, agent.model.log_std_dif)
+    assert isinstance(ok, bool)
+
+
 def test_fused_rollout_grid_blocked():
     """Grid-blocked path (multiple programs over the sample axis) matches
     the single-program result."""
