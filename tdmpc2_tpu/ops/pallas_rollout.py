@@ -222,7 +222,11 @@ def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
     """
     import numpy as np
     try:
-        prep = prepare_value_params(params, cfg)
+        task = 0 if cfg.multitask else None
+        mask = None
+        if cfg.multitask and task is not None:
+            mask = jnp.ones((cfg.action_dim,), jnp.float32)
+        prep = prepare_value_params(params, cfg, task=task, action_mask=mask)
         # S=128 -> one grid block of exactly the production block shape
         # (the planner runs S=num_samples=512 as a 4-program grid of 128)
         S, L, A, H = 128, cfg.latent_dim, cfg.action_dim, cfg.horizon
@@ -230,8 +234,9 @@ def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
         actions = jnp.zeros((H, S, A), jnp.float32)
         eps = jnp.zeros((S, A), jnp.float32)
         qidx = jnp.arange(2, dtype=jnp.int32)
-        G = value_prepared(prep, z0, actions, eps, qidx,
-                           horizon=H, discount=0.99,
+        discs = jnp.full((H + 1,), 0.99, jnp.float32) ** jnp.arange(H + 1)
+        G = value_prepared(prep, z0, actions, eps, qidx, discs,
+                           horizon=H, episodic=cfg.episodic,
                            log_std_min=float(log_std_min),
                            log_std_dif=float(log_std_dif))
         return bool(np.isfinite(np.asarray(G)).all())
@@ -242,10 +247,12 @@ def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
 
 
 def rollout_supported(cfg) -> bool:
-    """Static gate: the fused kernel covers the single-task, non-episodic,
-    two-hot (num_bins>1) planner configuration."""
-    return (not cfg.multitask and not cfg.episodic
-            and cfg.num_bins > 1 and cfg.latent_dim % cfg.simnorm_dim == 0)
+    """Static gate for the fused value kernel.
+
+    Covers single- AND multi-task (task emb folded into biases at prepare
+    time) and episodic (termination head in-kernel) planners; requires the
+    two-hot critic (num_bins>1) and SimNorm-divisible latents."""
+    return cfg.num_bins > 1 and cfg.latent_dim % cfg.simnorm_dim == 0
 
 
 # ---------------------------------------------------------------------------
@@ -256,37 +263,46 @@ def rollout_supported(cfg) -> bool:
 # reward/dynamics rollout it evaluates the policy prior at z_H (tanh-squashed
 # Gaussian sample), then the Q-ensemble on (z_H, a) for the two randomly
 # subsampled heads (reference world_model.py:186-216), decodes both with the
-# two-hot inverse, and returns G + gamma^H * mean(Q). Everything — all five
+# two-hot inverse, and returns G + gamma^H * mean(Q). Everything — all
 # MLPs' weights and every activation — stays VMEM-resident, so one CEM
 # iteration is a single MXU-bound program; the only XLA work left per
 # iteration is the [S]-sized top-k/softmax moment update.
 #
-# RNG parity with the XLA path: the policy's eps ~ N(0,1) sample and the
-# 2-of-num_q head choice are data inputs, generated OUTSIDE with the exact
-# key-split sequence of the XLA `_estimate_value`.
+# Episodic tasks add the termination head in-kernel (sticky >0.5 gate on
+# reward/bootstrap, reference tdmpc2.py:129-134). Multitask needs NO extra
+# in-kernel work: the task embedding is constant across a plan, so its
+# contribution to every head's first layer ([z, emb, a] @ W = z@Wz + a@Wa
+# + emb@Wemb) folds into the layer BIAS at prepare time, and the action
+# mask folds into the pi mean head's columns — the kernel itself is
+# task-oblivious. Per-task discounts enter as a per-step discount row.
+#
+# RNG parity with the XLA path: the policy's eps ~ N(0,1) sample (pre-masked
+# for multitask) and the 2-of-num_q head choice are data inputs, generated
+# OUTSIDE with the exact key-split sequence of the XLA `_estimate_value`.
 # ---------------------------------------------------------------------------
 
 
 def _value_kernel(
-    z0_ref, actions_ref, eps_ref, qidx_ref,
-    dWz_ref, dWa_ref, db0_ref, dg0_ref, de0_ref,
-    dW1_ref, db1_ref, dg1_ref, de1_ref,
-    dW2_ref, db2_ref, dg2_ref, de2_ref,
-    rWz_ref, rWa_ref, rb0_ref, rg0_ref, re0_ref,
-    rW1_ref, rb1_ref, rg1_ref, re1_ref,
-    rW2_ref, rb2_ref,
-    pW0_ref, pb0_ref, pg0_ref, pe0_ref,
-    pW1_ref, pb1_ref, pg1_ref, pe1_ref,
-    pWm_ref, pbm_ref, pWl_ref, pbl_ref,
-    qWz_ref, qWa_ref, qb0_ref, qg0_ref, qe0_ref,
-    qW1_ref, qb1_ref, qg1_ref, qe1_ref,
-    qW2_ref, qb2_ref,
-    bins_ref, gmask_ref,
-    G_ref,
-    *, horizon: int, discount: float, dot_dtype,
+    z0_ref, actions_ref, eps_ref, qidx_ref, discs_ref, *refs,
+    horizon: int, episodic: bool, dot_dtype,
     log_std_min: float, log_std_dif: float,
 ):
     f32 = jnp.float32
+    G_ref = refs[-1]
+    it = iter(refs[:-1])
+
+    def take(n):
+        return [next(it) for _ in range(n)]
+
+    (dWz, dWa, db0, dg0, de0, dW1, db1, dg1, de1,
+     dW2, db2, dg2, de2) = take(13)
+    (rWz, rWa, rb0, rg0, re0, rW1, rb1, rg1, re1, rW2, rb2) = take(11)
+    if episodic:
+        (tW0, tb0, tg0, te0, tW1, tb1, tg1, te1, tW2, tb2) = take(10)
+    (pW0, pb0, pg0, pe0, pW1, pb1, pg1, pe1,
+     pWm, pbm, pWl, pbl) = take(12)
+    (qWz, qWa, qb0, qg0, qe0, qW1, qb1, qg1, qe1, qW2, qb2) = take(11)
+    bins, gmask = take(2)
 
     def dot(x, w):
         # weights arrive pre-cast to dot_dtype; accumulation is always f32
@@ -295,41 +311,52 @@ def _value_kernel(
     def two_hot_dec(logits):
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        x = (jnp.sum(e * bins_ref[:], axis=-1, keepdims=True)
+        x = (jnp.sum(e * bins[:], axis=-1, keepdims=True)
              / jnp.sum(e, axis=-1, keepdims=True))
         # symexp via exp-1 (expm1 not lowered by Mosaic; ~1e-7 abs error)
         return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
 
     z = z0_ref[:]                                     # [S, L]
     G = jnp.zeros((z.shape[0], 128), f32)             # lane-padded accumulator
-    disc = 1.0
+    term = jnp.zeros((z.shape[0], 1), f32)            # sticky termination flag
 
     for t in range(horizon):
         a = actions_ref[t]                            # [S, A]
-        u = dot(z, rWz_ref[:]) + dot(a, rWa_ref[:]) + rb0_ref[:]
-        u = _mish(_ln(u, rg0_ref[:], re0_ref[:]))
-        u = dot(u, rW1_ref[:]) + rb1_ref[:]
-        u = _mish(_ln(u, rg1_ref[:], re1_ref[:]))
-        G = G + disc * two_hot_dec(dot(u, rW2_ref[:]) + rb2_ref[:])
-        disc = disc * discount
+        u = dot(z, rWz[:]) + dot(a, rWa[:]) + rb0[:]
+        u = _mish(_ln(u, rg0[:], re0[:]))
+        u = dot(u, rW1[:]) + rb1[:]
+        u = _mish(_ln(u, rg1[:], re1[:]))
+        r = two_hot_dec(dot(u, rW2[:]) + rb2[:])
+        if episodic:
+            r = (1.0 - term) * r
+        G = G + discs_ref[t] * r
 
-        v = dot(z, dWz_ref[:]) + dot(a, dWa_ref[:]) + db0_ref[:]
-        v = _mish(_ln(v, dg0_ref[:], de0_ref[:]))
-        v = dot(v, dW1_ref[:]) + db1_ref[:]
-        v = _mish(_ln(v, dg1_ref[:], de1_ref[:]))
-        v = dot(v, dW2_ref[:]) + db2_ref[:]
-        v = _ln(v, dg2_ref[:], de2_ref[:])
+        v = dot(z, dWz[:]) + dot(a, dWa[:]) + db0[:]
+        v = _mish(_ln(v, dg0[:], de0[:]))
+        v = dot(v, dW1[:]) + db1[:]
+        v = _mish(_ln(v, dg1[:], de1[:]))
+        v = dot(v, dW2[:]) + db2[:]
+        v = _ln(v, dg2[:], de2[:])
         mv = jnp.max(v, axis=-1, keepdims=True)
         ev = jnp.exp(v - mv)
-        z = ev / dot(ev, gmask_ref[:])                # grouped softmax
+        z = ev / dot(ev, gmask[:])                    # grouped softmax
+
+        if episodic:
+            # termination head on the NEW latent; sticky >0.5 (logit>0) gate
+            w = dot(z, tW0[:]) + tb0[:]
+            w = _mish(_ln(w, tg0[:], te0[:]))
+            w = dot(w, tW1[:]) + tb1[:]
+            w = _mish(_ln(w, tg1[:], te1[:]))
+            logit = dot(w, tW2[:]) + tb2[:]           # [S, 1]
+            term = jnp.minimum(term + (logit > 0.0).astype(f32), 1.0)
 
     # -- terminal policy prior: a = tanh(mean + eps * exp(log_std))
-    u = dot(z, pW0_ref[:]) + pb0_ref[:]
-    u = _mish(_ln(u, pg0_ref[:], pe0_ref[:]))
-    u = dot(u, pW1_ref[:]) + pb1_ref[:]
-    u = _mish(_ln(u, pg1_ref[:], pe1_ref[:]))
-    mean = dot(u, pWm_ref[:]) + pbm_ref[:]
-    lstd = dot(u, pWl_ref[:]) + pbl_ref[:]
+    u = dot(z, pW0[:]) + pb0[:]
+    u = _mish(_ln(u, pg0[:], pe0[:]))
+    u = dot(u, pW1[:]) + pb1[:]
+    u = _mish(_ln(u, pg1[:], pe1[:]))
+    mean = dot(u, pWm[:]) + pbm[:]
+    lstd = dot(u, pWl[:]) + pbl[:]
     lstd = log_std_min + 0.5 * log_std_dif * (jnp.tanh(lstd) + 1.0)
     a = jnp.tanh(mean + eps_ref[:] * jnp.exp(lstd))   # [S, A]
 
@@ -337,21 +364,31 @@ def _value_kernel(
     q_acc = jnp.zeros((z.shape[0], 1), f32)
     for j in range(2):
         i = qidx_ref[j]
-        u = dot(z, qWz_ref[i]) + dot(a, qWa_ref[i]) + qb0_ref[pl.ds(i, 1), :]
-        u = _mish(_ln(u, qg0_ref[pl.ds(i, 1), :], qe0_ref[pl.ds(i, 1), :]))
-        u = dot(u, qW1_ref[i]) + qb1_ref[pl.ds(i, 1), :]
-        u = _mish(_ln(u, qg1_ref[pl.ds(i, 1), :], qe1_ref[pl.ds(i, 1), :]))
-        q_acc = q_acc + two_hot_dec(dot(u, qW2_ref[i]) + qb2_ref[pl.ds(i, 1), :])
+        u = dot(z, qWz[i]) + dot(a, qWa[i]) + qb0[pl.ds(i, 1), :]
+        u = _mish(_ln(u, qg0[pl.ds(i, 1), :], qe0[pl.ds(i, 1), :]))
+        u = dot(u, qW1[i]) + qb1[pl.ds(i, 1), :]
+        u = _mish(_ln(u, qg1[pl.ds(i, 1), :], qe1[pl.ds(i, 1), :]))
+        q_acc = q_acc + two_hot_dec(dot(u, qW2[i]) + qb2[pl.ds(i, 1), :])
 
-    G_ref[:] = G + disc * (q_acc / 2.0)
+    q = q_acc / 2.0
+    if episodic:
+        q = (1.0 - term) * q
+    G_ref[:] = G + discs_ref[horizon] * q
 
 
-def prepare_value_params(params, cfg, dot_dtype=jnp.bfloat16):
+def prepare_value_params(params, cfg, task=None, action_mask=None,
+                         dot_dtype=jnp.bfloat16):
     """Pre-slice/cast every weight operand of the fused value kernel.
 
     Weights are loop-invariant across CEM iterations (and change only at
     update time); preparing once per plan keeps the kernel call free of
     cast/split/kron work. Returns a flat tuple of arrays.
+
+    Multitask (`task` given): every head's first layer sees [z, emb, a] (or
+    [z, emb]) — emb is constant for the whole plan, so emb @ W_emb is folded
+    into the layer bias here, and the action mask is folded into the pi mean
+    head's columns; the kernel never sees the task. Mirrors the reference's
+    task-emb concat (world_model.py:88-101) exactly for a fixed task.
     """
     L, A = cfg.latent_dim, cfg.action_dim
     dyn, rew, pi, qs = (params['dynamics'], params['reward'], params['pi'],
@@ -361,53 +398,96 @@ def prepare_value_params(params, cfg, dot_dtype=jnp.bfloat16):
     gmask = jnp.kron(jnp.eye(L // cfg.simnorm_dim, dtype=jnp.float32),
                      jnp.ones((cfg.simnorm_dim, cfg.simnorm_dim), jnp.float32))
 
+    if task is None:
+        dt = 0
+        emb = None
+    else:
+        dt = cfg.task_dim
+        # task may be scalar or shape-[1]; emb is the 1-D embedding row with
+        # the max_norm=1 lookup renorm of WorldModel.task_emb
+        emb = params['task_emb']['w'][jnp.asarray(task)].reshape(-1)
+        norm = jnp.linalg.norm(emb)
+        emb = emb * jnp.minimum(1.0, 1.0 / jnp.maximum(norm, 1e-12))
+
     def w(x):
         return x.astype(dot_dtype)
 
-    return (
-        # dynamics
-        w(dyn[0]['w'][:L]), w(dyn[0]['w'][L:]), _as_row(dyn[0]['b']),
+    def fold(W, b):
+        """First-layer bias with the constant emb contribution folded in.
+        W rows are laid out [z (L) | emb (dt) | a (rest)]."""
+        if emb is None:
+            return _as_row(b)
+        return _as_row(b + emb @ W[L:L + dt])
+
+    def fold_q(W, b):
+        if emb is None:
+            return b
+        return b + jnp.einsum('d,qdo->qo', emb, W[:, L:L + dt])
+
+    pWm, pbm = pi[2]['w'][:, :A], pi[2]['b'][:A]
+    if action_mask is not None:  # mask pi mean columns -> masked dims give 0
+        pWm = pWm * action_mask.reshape(1, A)
+        pbm = pbm * action_mask.reshape(A)
+
+    prep = (
+        # dynamics ([z, emb, a] -> L)
+        w(dyn[0]['w'][:L]), w(dyn[0]['w'][L + dt:]), fold(dyn[0]['w'], dyn[0]['b']),
         _as_row(dyn[0]['ln_w']), _as_row(dyn[0]['ln_b']),
         w(dyn[1]['w']), _as_row(dyn[1]['b']),
         _as_row(dyn[1]['ln_w']), _as_row(dyn[1]['ln_b']),
         w(dyn[2]['w']), _as_row(dyn[2]['b']),
         _as_row(dyn[2]['ln_w']), _as_row(dyn[2]['ln_b']),
-        # reward
-        w(rew[0]['w'][:L]), w(rew[0]['w'][L:]), _as_row(rew[0]['b']),
+        # reward ([z, emb, a] -> bins)
+        w(rew[0]['w'][:L]), w(rew[0]['w'][L + dt:]), fold(rew[0]['w'], rew[0]['b']),
         _as_row(rew[0]['ln_w']), _as_row(rew[0]['ln_b']),
         w(rew[1]['w']), _as_row(rew[1]['b']),
         _as_row(rew[1]['ln_w']), _as_row(rew[1]['ln_b']),
         w(rew[2]['w']), _as_row(rew[2]['b']),
-        # policy prior (final linear split into mean/log_std halves)
-        w(pi[0]['w']), _as_row(pi[0]['b']),
+    )
+    if cfg.episodic:
+        trm = params['termination']  # ([z, emb] -> 1)
+        prep += (
+            w(trm[0]['w'][:L]), fold(trm[0]['w'], trm[0]['b']),
+            _as_row(trm[0]['ln_w']), _as_row(trm[0]['ln_b']),
+            w(trm[1]['w']), _as_row(trm[1]['b']),
+            _as_row(trm[1]['ln_w']), _as_row(trm[1]['ln_b']),
+            w(trm[2]['w']), _as_row(trm[2]['b']),
+        )
+    prep += (
+        # policy prior ([z, emb] -> 2A, final linear split into mean/log_std)
+        w(pi[0]['w'][:L]), fold(pi[0]['w'], pi[0]['b']),
         _as_row(pi[0]['ln_w']), _as_row(pi[0]['ln_b']),
         w(pi[1]['w']), _as_row(pi[1]['b']),
         _as_row(pi[1]['ln_w']), _as_row(pi[1]['ln_b']),
-        w(pi[2]['w'][:, :A]), _as_row(pi[2]['b'][:A]),
+        w(pWm), _as_row(pbm),
         w(pi[2]['w'][:, A:]), _as_row(pi[2]['b'][A:]),
         # Q ensemble, stacked [num_q, ...]; heads picked in-kernel by qidx
-        w(qs[0]['w'][:, :L]), w(qs[0]['w'][:, L:]), qs[0]['b'],
+        w(qs[0]['w'][:, :L]), w(qs[0]['w'][:, L + dt:]),
+        fold_q(qs[0]['w'], qs[0]['b']),
         qs[0]['ln_w'], qs[0]['ln_b'],
         w(qs[1]['w']), qs[1]['b'], qs[1]['ln_w'], qs[1]['ln_b'],
         w(qs[2]['w']), qs[2]['b'],
         # constants
         _as_row(bins), w(gmask),
     )
+    return prep
 
 
-def value_prepared(prep, z0, actions, eps, qidx, *, horizon: int,
-                   discount: float, log_std_min: float, log_std_dif: float,
+def value_prepared(prep, z0, actions, eps, qidx, discs, *, horizon: int,
+                   episodic: bool, log_std_min: float, log_std_dif: float,
                    dot_dtype=jnp.bfloat16, interpret: bool = False,
                    block_s: int = 128):
     """Fused CEM value estimate with pre-prepared weights.
 
-    z0 [S, L]; actions [H, S, A]; eps [S, A] (policy-sample noise);
-    qidx [2] int32 (Q-head subsample). Returns value [S, 1].
+    z0 [S, L]; actions [H, S, A]; eps [S, A] (policy-sample noise, pre-masked
+    for multitask); qidx [2] int32 (Q-head subsample); discs [H+1] f32
+    (discount^t — data, not static, so per-task discounts trace cleanly).
+    Returns value [S, 1].
     """
     S, L = z0.shape
     H, _, A = actions.shape
     kernel = functools.partial(
-        _value_kernel, horizon=horizon, discount=float(discount),
+        _value_kernel, horizon=horizon, episodic=bool(episodic),
         dot_dtype=dot_dtype, log_std_min=float(log_std_min),
         log_std_dif=float(log_std_dif))
 
@@ -425,6 +505,7 @@ def value_prepared(prep, z0, actions, eps, qidx, *, horizon: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((block_s, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((H + 1,), lambda i: (0,), memory_space=pltpu.SMEM),
     ] + [const_spec(p) for p in prep]
 
     G = pl.pallas_call(
@@ -437,5 +518,6 @@ def value_prepared(prep, z0, actions, eps, qidx, *, horizon: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(z0, actions, eps, qidx.astype(jnp.int32), *prep)
+    )(z0, actions, eps, qidx.astype(jnp.int32),
+      discs.astype(jnp.float32), *prep)
     return G[:, :1]

@@ -353,6 +353,17 @@ class TDMPC2:
 
     # ------------------------------------------------------------- planning
 
+    def _prepare_value(self, params, task):
+        """Prepared (pre-sliced/cast, emb-and-mask-folded) weights for the
+        fused value kernel; trace-time helper, call inside jit."""
+        from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params
+        cfg = self.cfg
+        if cfg.multitask:
+            return prepare_value_params(
+                params, cfg, task=task,
+                action_mask=self.model.action_masks[task][0])
+        return prepare_value_params(params, cfg)
+
     def _estimate_value(self, params, z, actions, key, task, prep=None):
         """H-step latent return estimate (reference tdmpc2.py:122-136).
 
@@ -361,20 +372,27 @@ class TDMPC2:
         cfg = self.cfg
         if self._fused_rollout:
             # fully fused CEM value estimate: rollout + terminal pi + 2-of-N
-            # Q decode in one VMEM-resident kernel. eps/qidx are generated
-            # here with the exact key-split sequence of the XLA path below
-            # (pi's normal sample, Q's head permutation) for RNG parity.
+            # Q decode (+ termination gate when episodic) in one VMEM-
+            # resident kernel. The multitask task embedding and action mask
+            # are folded into the prepared weights (bias folding), so the
+            # kernel itself is task-oblivious. eps/qidx are generated here
+            # with the exact key-split sequence of the XLA path below (pi's
+            # normal sample, Q's head permutation) for RNG parity.
             from tdmpc2_tpu.ops.pallas_rollout import (prepare_value_params,
                                                        value_prepared)
             if prep is None:
-                prep = prepare_value_params(params, cfg)
+                prep = self._prepare_value(params, task)
             k_pi, k_q = jax.random.split(key)
             eps = jax.random.normal(
                 k_pi, (z.shape[0], cfg.action_dim), jnp.float32)
+            if cfg.multitask:  # pi masks eps too (world_model.py:158-162)
+                eps = eps * self.model.action_masks[task]
             qidx = jax.random.permutation(k_q, cfg.num_q)[:2]
+            discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
+            discs = discount_f ** jnp.arange(cfg.horizon + 1)
             return value_prepared(
-                prep, z, actions, eps, qidx,
-                horizon=cfg.horizon, discount=float(self.discount),
+                prep, z, actions, eps, qidx, discs,
+                horizon=cfg.horizon, episodic=cfg.episodic,
                 log_std_min=self.model.log_std_min,
                 log_std_dif=self.model.log_std_dif)
 
@@ -430,11 +448,7 @@ class TDMPC2:
 
         # pre-cast/slice the fused-kernel weights once per plan, outside
         # the CEM loop (weights are loop-invariant)
-        if self._fused_rollout:
-            from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params
-            prep = prepare_value_params(params, cfg)
-        else:
-            prep = None
+        prep = self._prepare_value(params, task) if self._fused_rollout else None
 
         z = jnp.broadcast_to(z0, (S, z0.shape[-1]))
         mean0 = jnp.where(

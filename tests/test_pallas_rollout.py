@@ -67,26 +67,47 @@ def test_rollout_supported_gate():
         latent_dim = 512
         simnorm_dim = 8
     assert rollout_supported(C)
-    C.multitask = True
+    C.multitask = True        # supported since the bias-folding rework
+    assert rollout_supported(C)
+    C.episodic = True         # supported: termination head runs in-kernel
+    assert rollout_supported(C)
+    C.num_bins = 1            # scalar critic not covered by two-hot decode
+    assert not rollout_supported(C)
+    C.num_bins = 101
+    C.latent_dim = 513        # SimNorm grouping must tile the latent
     assert not rollout_supported(C)
 
 
-def test_fused_value_kernel_matches_agent_estimate():
-    """The fully fused CEM value kernel (rollout + terminal pi + 2-of-N Q
-    decode, ops/pallas_rollout._value_kernel) must reproduce the agent's XLA
-    `_estimate_value` exactly (same params, same RNG chain, f32 dots)."""
-    from tdmpc2_tpu.config import Config, parse_cfg
-    from tdmpc2_tpu.ops.pallas_rollout import (prepare_value_params,
-                                               value_prepared)
-    from tdmpc2_tpu.tdmpc2 import TDMPC2
-
-    cfg = parse_cfg(Config(task='toy'))
+def _small(cfg):
     cfg.obs_shape = {'state': (10,)}
     cfg.action_dim = 4
     cfg.episode_length = 20
     cfg.enc_dim, cfg.mlp_dim, cfg.latent_dim = 64, 64, 32
     cfg.num_samples, cfg.num_elites, cfg.num_pi_trajs = 64, 8, 8
     cfg.iterations, cfg.num_q = 2, 3
+    return cfg
+
+
+@pytest.mark.parametrize('mode', ['single', 'episodic', 'multitask'])
+def test_fused_value_kernel_matches_agent_estimate(mode):
+    """The fully fused CEM value kernel (rollout + terminal pi + 2-of-N Q
+    decode + episodic termination gate, ops/pallas_rollout._value_kernel)
+    must reproduce the agent's XLA `_estimate_value` exactly (same params,
+    same RNG chain, f32 dots) — including multitask, where the task
+    embedding and action mask are folded into the prepared weights."""
+    from tdmpc2_tpu.config import Config, parse_cfg
+    from tdmpc2_tpu.ops.pallas_rollout import value_prepared
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+    if mode == 'multitask':
+        cfg = _small(parse_cfg(Config(task='mt30')))
+        cfg.action_dims = [4] * 15 + [2] * 15
+        cfg.episode_lengths = [20] * 30
+        task = jnp.asarray([20])      # a task with masked action dims
+    else:
+        cfg = _small(parse_cfg(Config(task='toy')))
+        cfg.episodic = (mode == 'episodic')
+        task = None
     agent = TDMPC2(cfg)               # CPU -> _fused_rollout False: XLA path
     assert not agent._fused_rollout
     params = agent.state.params
@@ -96,32 +117,53 @@ def test_fused_value_kernel_matches_agent_estimate():
     S, L, A, H = 32, cfg.latent_dim, cfg.action_dim, cfg.horizon
     z0 = layers.simnorm(jax.random.normal(kz, (S, L)), cfg.simnorm_dim)
     actions = jax.random.uniform(ka, (H, S, A), minval=-1, maxval=1)
+    if mode == 'multitask':           # planner pre-masks sampled actions
+        actions = actions * agent.model.action_masks[task]
 
-    ref = agent._estimate_value(params, z0, actions, kv, None)
+    ref = agent._estimate_value(params, z0, actions, kv, task)
 
     # identical key-split sequence to the agent's fused branch
     k_pi, k_q = jax.random.split(kv)
     eps = jax.random.normal(k_pi, (S, A), jnp.float32)
+    if mode == 'multitask':
+        eps = eps * agent.model.action_masks[task]
     qidx = jax.random.permutation(k_q, cfg.num_q)[:2]
-    prep = prepare_value_params(params, cfg, dot_dtype=jnp.float32)
-    got = value_prepared(
-        prep, z0, actions, eps, qidx, horizon=H,
-        discount=float(agent.discount),
-        log_std_min=agent.model.log_std_min,
-        log_std_dif=agent.model.log_std_dif,
-        dot_dtype=jnp.float32, interpret=True)
+    discount_f = jnp.asarray(agent._task_discount(task), jnp.float32)
+    discs = discount_f ** jnp.arange(H + 1)
+
+    def run(prep, block_s):
+        return value_prepared(
+            prep, z0, actions, eps, qidx, discs, horizon=H,
+            episodic=cfg.episodic,
+            log_std_min=agent.model.log_std_min,
+            log_std_dif=agent.model.log_std_dif,
+            dot_dtype=jnp.float32, interpret=True, block_s=block_s)
+
+    # f32 prep for exact comparison (production prep uses bf16 dots)
+    from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params
+    if mode == 'multitask':
+        prep = prepare_value_params(
+            params, cfg, task=task,
+            action_mask=agent.model.action_masks[task][0],
+            dot_dtype=jnp.float32)
+    else:
+        prep = prepare_value_params(params, cfg, dot_dtype=jnp.float32)
+
+    got = run(prep, block_s=S)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
     # grid-blocked variant (multiple programs over samples) is identical
-    got_blk = value_prepared(
-        prep, z0, actions, eps, qidx, horizon=H,
-        discount=float(agent.discount),
-        log_std_min=agent.model.log_std_min,
-        log_std_dif=agent.model.log_std_dif,
-        dot_dtype=jnp.float32, interpret=True, block_s=16)
+    got_blk = run(prep, block_s=16)
     np.testing.assert_allclose(np.asarray(got_blk), np.asarray(got),
                                rtol=1e-6, atol=1e-6)
+
+    if mode == 'episodic':
+        # the termination gate must actually fire for some sample (otherwise
+        # this parity run never exercised the gate)
+        term_p = agent.model.termination(params, z0, task)
+        assert bool(jnp.any(term_p > 0.5)) or np.allclose(
+            np.asarray(got), np.asarray(ref))
 
 
 def test_probe_value_kernel_never_raises():
