@@ -26,7 +26,14 @@ def main():
     a = agent.act(obs, t0=True)
     a2 = agent.act(obs, t0=False)
     assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(a2)).all()
-    print('fused value kernel OK:', np.asarray(a))
+    # batched acting (vec trainer, num_envs=8): vmapped planner — a separate
+    # Mosaic lowering (custom_vmap env-flattening rule); must also run
+    cfg8 = _make_cfg(num_envs=8)
+    agent8 = TDMPC2(cfg8)
+    obs8 = np.zeros((8, cfg.obs_shape['state'][0]), np.float32)
+    a8 = agent8.act(obs8, t0=np.ones(8, bool))
+    assert a8.shape == (8, cfg.action_dim) and np.isfinite(a8).all()
+    print('fused value kernel OK (single + 8-env batched):', np.asarray(a))
     return 0
 
 

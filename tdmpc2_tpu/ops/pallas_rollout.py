@@ -239,7 +239,23 @@ def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
                            horizon=H, episodic=cfg.episodic,
                            log_std_min=float(log_std_min),
                            log_std_dif=float(log_std_dif))
-        return bool(np.isfinite(np.asarray(G)).all())
+        ok = bool(np.isfinite(np.asarray(G)).all())
+        # Batched-acting path (TDMPC2._plan_vec vmaps the planner over the
+        # env axis; the custom_vmap rule flattens envs into the sample axis
+        # and indexes [N, 2]/[N, H+1] SMEM operands per env) lowers
+        # differently — probe it too so vec training can't die in its
+        # first jitted plan.
+        n = 2
+        Gv = jax.vmap(
+            lambda z, a, e, qi: value_prepared(
+                prep, z, a, e, qi, discs, horizon=H, episodic=cfg.episodic,
+                log_std_min=float(log_std_min),
+                log_std_dif=float(log_std_dif)),
+        )(jnp.broadcast_to(z0, (n,) + z0.shape),
+          jnp.broadcast_to(actions, (n,) + actions.shape),
+          jnp.broadcast_to(eps, (n,) + eps.shape),
+          jnp.broadcast_to(qidx, (n,) + qidx.shape))
+        return ok and bool(np.isfinite(np.asarray(Gv)).all())
     except Exception as e:  # noqa: BLE001 — any failure means "use XLA"
         print(f'[tdmpc2-tpu] fused value kernel probe failed ({type(e).__name__}: '
               f'{e}); falling back to the XLA planner', flush=True)
@@ -285,9 +301,16 @@ def rollout_supported(cfg) -> bool:
 def _value_kernel(
     z0_ref, actions_ref, eps_ref, qidx_ref, discs_ref, *refs,
     horizon: int, episodic: bool, dot_dtype,
-    log_std_min: float, log_std_dif: float,
+    log_std_min: float, log_std_dif: float, blocks_per_env: int,
 ):
     f32 = jnp.float32
+    # Batched acting folds the env axis into the sample axis (see
+    # value_prepared's custom_vmap rule): consecutive runs of
+    # `blocks_per_env` grid programs belong to one env, and the per-env
+    # scalar operands (Q-head subsample, discount row) are full [N, .]
+    # SMEM arrays indexed by the program's env — full-array SMEM blocks
+    # lower on all Mosaic versions, unlike vmap-tiled SMEM operands.
+    env = pl.program_id(0) // blocks_per_env
     G_ref = refs[-1]
     it = iter(refs[:-1])
 
@@ -329,7 +352,7 @@ def _value_kernel(
         r = two_hot_dec(dot(u, rW2[:]) + rb2[:])
         if episodic:
             r = (1.0 - term) * r
-        G = G + discs_ref[t] * r
+        G = G + discs_ref[env, t] * r
 
         v = dot(z, dWz[:]) + dot(a, dWa[:]) + db0[:]
         v = _mish(_ln(v, dg0[:], de0[:]))
@@ -363,7 +386,7 @@ def _value_kernel(
     # -- 2-of-num_q Q bootstrap, 'avg' decode
     q_acc = jnp.zeros((z.shape[0], 1), f32)
     for j in range(2):
-        i = qidx_ref[j]
+        i = qidx_ref[env, j]
         u = dot(z, qWz[i]) + dot(a, qWa[i]) + qb0[pl.ds(i, 1), :]
         u = _mish(_ln(u, qg0[pl.ds(i, 1), :], qe0[pl.ds(i, 1), :]))
         u = dot(u, qW1[i]) + qb1[pl.ds(i, 1), :]
@@ -373,7 +396,7 @@ def _value_kernel(
     q = q_acc / 2.0
     if episodic:
         q = (1.0 - term) * q
-    G_ref[:] = G + discs_ref[horizon] * q
+    G_ref[:] = G + discs_ref[env, horizon] * q
 
 
 def prepare_value_params(params, cfg, task=None, action_mask=None,
@@ -473,6 +496,59 @@ def prepare_value_params(params, cfg, task=None, action_mask=None,
     return prep
 
 
+def _value_flat(prep, z0, actions, eps, qidx, discs, *, horizon: int,
+                episodic: bool, log_std_min: float, log_std_dif: float,
+                dot_dtype, interpret: bool, block_s: int, s_per_env: int):
+    """One pallas_call over N envs' samples flattened into one axis.
+
+    z0 [N*S, L]; actions [H, N*S, A]; eps [N*S, A]; qidx [N, 2]; discs
+    [N, H+1]. Consecutive `s_per_env // block_s` grid programs belong to one
+    env; qidx/discs are full-array SMEM operands read per-env in-kernel.
+    """
+    S_tot, L = z0.shape
+    H, _, A = actions.shape
+    if s_per_env % block_s != 0:
+        block_s = s_per_env
+    kernel = functools.partial(
+        _value_kernel, horizon=horizon, episodic=bool(episodic),
+        dot_dtype=dot_dtype, log_std_min=float(log_std_min),
+        log_std_dif=float(log_std_dif),
+        blocks_per_env=s_per_env // block_s)
+
+    def const_spec(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def smem_full(x):
+        return pl.BlockSpec(x.shape, lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    qidx = qidx.astype(jnp.int32)
+    discs = discs.astype(jnp.float32)
+    in_specs = [
+        pl.BlockSpec((block_s, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, block_s, A), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_s, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        smem_full(qidx),
+        smem_full(discs),
+    ] + [const_spec(p) for p in prep]
+
+    G = pl.pallas_call(
+        kernel,
+        grid=(S_tot // block_s,),
+        out_shape=jax.ShapeDtypeStruct((S_tot, 128), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_s, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(z0, actions, eps, qidx, discs, *prep)
+    return G[:, :1]
+
+
 def value_prepared(prep, z0, actions, eps, qidx, discs, *, horizon: int,
                    episodic: bool, log_std_min: float, log_std_dif: float,
                    dot_dtype=jnp.bfloat16, interpret: bool = False,
@@ -483,41 +559,48 @@ def value_prepared(prep, z0, actions, eps, qidx, discs, *, horizon: int,
     for multitask); qidx [2] int32 (Q-head subsample); discs [H+1] f32
     (discount^t — data, not static, so per-task discounts trace cleanly).
     Returns value [S, 1].
+
+    vmap-safe: batched acting (`TDMPC2._plan_vec` vmaps the planner over the
+    env axis) hits a custom_vmap rule that folds the env axis into the
+    sample axis — one flat pallas_call with N*S rows — instead of letting
+    vmap tile the call, which Mosaic cannot lower for the small SMEM scalar
+    operands (an [N, 2] operand gets a non-lane-aligned block).
     """
-    S, L = z0.shape
-    H, _, A = actions.shape
-    kernel = functools.partial(
-        _value_kernel, horizon=horizon, episodic=bool(episodic),
-        dot_dtype=dot_dtype, log_std_min=float(log_std_min),
-        log_std_dif=float(log_std_dif))
+    prep = tuple(prep)
+    kw = dict(horizon=horizon, episodic=episodic, log_std_min=log_std_min,
+              log_std_dif=log_std_dif, dot_dtype=dot_dtype,
+              interpret=interpret, block_s=block_s)
 
-    if S % block_s != 0:
-        block_s = S
+    @jax.custom_batching.custom_vmap
+    def call(z0, actions, eps, qidx, discs, prep):
+        return _value_flat(prep, z0, actions, eps, qidx[None], discs[None],
+                           s_per_env=z0.shape[0], **kw)
 
-    def const_spec(x):
-        nd = x.ndim
-        return pl.BlockSpec(x.shape, lambda i, _nd=nd: (0,) * _nd,
-                            memory_space=pltpu.VMEM)
+    @call.def_vmap
+    def _batched_call(axis_size, in_batched, z0, actions, eps, qidx, discs,
+                      prep):
+        zb, ab, eb, qb, db, pb = in_batched
+        assert not any(jax.tree.leaves(pb)), (
+            'fused value kernel: vmap over prepared weights is unsupported '
+            '(plan-vec maps params with in_axes=None)')
+        N = axis_size
 
-    in_specs = [
-        pl.BlockSpec((block_s, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, block_s, A), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_s, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((H + 1,), lambda i: (0,), memory_space=pltpu.SMEM),
-    ] + [const_spec(p) for p in prep]
+        def bat(x, batched):
+            return x if batched else jnp.broadcast_to(x, (N,) + x.shape)
 
-    G = pl.pallas_call(
-        kernel,
-        grid=(S // block_s,),
-        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_s, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(z0, actions, eps, qidx.astype(jnp.int32),
-      discs.astype(jnp.float32), *prep)
-    return G[:, :1]
+        z0 = bat(z0, zb)                        # [N, S, L]
+        actions = bat(actions, ab)              # [N, H, S, A]
+        eps = bat(eps, eb)                      # [N, S, A]
+        qidx = bat(qidx, qb)                    # [N, 2]
+        discs = bat(discs, db)                  # [N, H+1]
+        S, L = z0.shape[1:]
+        H, A = actions.shape[1], actions.shape[3]   # actions [N, H, S, A]
+        out = _value_flat(
+            prep,
+            z0.reshape(N * S, L),
+            jnp.moveaxis(actions, 0, 1).reshape(H, N * S, A),
+            eps.reshape(N * S, A),
+            qidx, discs, s_per_env=S, **kw)
+        return out.reshape(N, S, 1), True
+
+    return call(z0, actions, eps, qidx, discs, prep)
