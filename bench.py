@@ -28,6 +28,10 @@ import numpy as np
 
 def main():
     import jax
+    from tdmpc2_tpu.train import _enable_compilation_cache
+    _enable_compilation_cache()   # reuse planner/update executables across
+    # processes (the whole-CEM Pallas kernel's first Mosaic compile is slow;
+    # the queue's smoke job pre-warms this cache at identical geometry)
     import jax.numpy as jnp
     from __graft_entry__ import _make_cfg
     from tdmpc2_tpu.tdmpc2 import TDMPC2

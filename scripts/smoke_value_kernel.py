@@ -11,6 +11,9 @@ import numpy as np
 
 def main():
     import jax
+    from tdmpc2_tpu.train import _enable_compilation_cache
+    _enable_compilation_cache()   # pre-warm the shared executable cache so
+    # bench.py (same planner geometry) skips the slow first Mosaic compile
 
     if jax.default_backend() != 'tpu':
         print('not on TPU; nothing to smoke-test')

@@ -120,6 +120,19 @@ class TDMPC2:
                 self.state.params, cfg,
                 self.model.log_std_min, self.model.log_std_dif)
 
+        # Whole-CEM-loop kernel (ops/pallas_cem.py): the entire MPPI loop in
+        # one program, weights loaded from HBM once per plan instead of once
+        # per iteration. Fallback chain: CEM kernel -> per-iteration fused
+        # value kernel -> XLA planner.
+        self._fused_cem = False
+        self._cem_interpret = False   # tests: run the kernel interpreted
+        self._pallas_dot_dtype = jnp.bfloat16  # tests: f32 for exact parity
+        if self._fused_rollout:
+            from tdmpc2_tpu.ops.pallas_cem import probe_cem_kernel
+            self._fused_cem = probe_cem_kernel(
+                self.state.params, cfg, self.model.log_std_min,
+                self.model.log_std_dif, self.iterations)
+
         # Compiled entry points. eval_mode is a static branch -> two planner
         # variants (reference lazily torch.compiles _plan, tdmpc2.py:45-55).
         # The vectorized planner vmaps the single-obs MPPI kernel over a
@@ -358,11 +371,12 @@ class TDMPC2:
         fused value kernel; trace-time helper, call inside jit."""
         from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params
         cfg = self.cfg
+        dt = self._pallas_dot_dtype
         if cfg.multitask:
             return prepare_value_params(
                 params, cfg, task=task,
-                action_mask=self.model.action_masks[task][0])
-        return prepare_value_params(params, cfg)
+                action_mask=self.model.action_masks[task][0], dot_dtype=dt)
+        return prepare_value_params(params, cfg, dot_dtype=dt)
 
     def _estimate_value(self, params, z, actions, key, task, prep=None):
         """H-step latent return estimate (reference tdmpc2.py:122-136).
@@ -394,7 +408,9 @@ class TDMPC2:
                 prep, z, actions, eps, qidx, discs,
                 horizon=cfg.horizon, episodic=cfg.episodic,
                 log_std_min=self.model.log_std_min,
-                log_std_dif=self.model.log_std_dif)
+                log_std_dif=self.model.log_std_dif,
+                dot_dtype=self._pallas_dot_dtype,
+                interpret=self._cem_interpret)
 
         discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
 
@@ -448,7 +464,8 @@ class TDMPC2:
 
         # pre-cast/slice the fused-kernel weights once per plan, outside
         # the CEM loop (weights are loop-invariant)
-        prep = self._prepare_value(params, task) if self._fused_rollout else None
+        prep = (self._prepare_value(params, task)
+                if (self._fused_rollout or self._fused_cem) else None)
 
         z = jnp.broadcast_to(z0, (S, z0.shape[-1]))
         mean0 = jnp.where(
@@ -461,6 +478,64 @@ class TDMPC2:
             a_mask = self.model.action_masks[task]  # [1, A]
         else:
             a_mask = None
+
+        if self._fused_cem:
+            # Whole-CEM-loop Pallas kernel: all `self.iterations` iterations
+            # (sample -> rollout -> elites -> moment update) in ONE program,
+            # weights HBM->VMEM once per plan. Every random draw replicates
+            # the fori_loop path's key-split sequence exactly, generated
+            # here and passed as data (no in-kernel PRNG).
+            from tdmpc2_tpu.ops.pallas_cem import cem_prepared
+            noises, epss, qidxs = [], [], []
+            k = k_loop
+            for _ in range(self.iterations):
+                k, k_r, k_v = jax.random.split(k, 3)
+                r = jax.random.normal(k_r, (H, S - n_pi, A))
+                k_pi_t, k_q_t = jax.random.split(k_v)
+                eps_j = jax.random.normal(k_pi_t, (S, A), jnp.float32)
+                if cfg.multitask:
+                    eps_j = eps_j * a_mask
+                qidxs.append(jax.random.permutation(k_q_t, cfg.num_q)[:2])
+                r_pad = jnp.pad(r, ((0, 0), (n_pi, 0), (0, 0)))
+                noises.append(jnp.moveaxis(r_pad, 0, 1).reshape(S, H * A))
+                epss.append(eps_j)
+            if n_pi > 0:
+                pi_pad = jnp.pad(pi_actions, ((0, 0), (0, S - n_pi), (0, 0)))
+                pi_flat = jnp.moveaxis(pi_pad, 0, 1).reshape(S, H * A)
+            else:
+                pi_flat = jnp.zeros((S, H * A), jnp.float32)
+            discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
+            discs = discount_f ** jnp.arange(H + 1)
+            amask_row = (a_mask if a_mask is not None
+                         else jnp.ones((1, A), jnp.float32))
+            mean_f, std_f, value, acts_flat = cem_prepared(
+                prep, z0, pi_flat, jnp.stack(noises), jnp.stack(epss),
+                jnp.stack(qidxs), discs, mean0.reshape(1, H * A),
+                std0.reshape(1, H * A), amask_row,
+                iterations=self.iterations, horizon=H, n_pi=n_pi,
+                num_elites=E, temperature=cfg.temperature,
+                min_std=cfg.min_std, max_std=cfg.max_std,
+                episodic=cfg.episodic,
+                log_std_min=self.model.log_std_min,
+                log_std_dif=self.model.log_std_dif,
+                dot_dtype=self._pallas_dot_dtype,
+                interpret=self._cem_interpret)
+            mean = mean_f.reshape(H, A)
+            std = std_f.reshape(H, A)
+            # final-iteration elites + Gumbel pick, identical to the XLA
+            # loop's last-iteration computation (value is already NaN-clean)
+            actions = jnp.moveaxis(acts_flat.reshape(S, H, A), 1, 0)
+            elite_value, elite_idx = jax.lax.top_k(value[:, 0], E)
+            elite_actions = actions[:, elite_idx]
+            elite_value = elite_value[:, None]
+            max_value = jnp.max(elite_value, axis=0)
+            score = jnp.exp(cfg.temperature * (elite_value - max_value))
+            score = score / jnp.sum(score, axis=0)
+            idx = math.gumbel_softmax_sample(k_gumbel, score[:, 0])
+            a = elite_actions[0, idx]
+            if not eval_mode:
+                a = a + std[0] * jax.random.normal(k_noise, (A,))
+            return jnp.clip(a, -1, 1), mean, k_next
 
         def iteration(_, carry):
             mean, std, _, _, key = carry
