@@ -65,6 +65,35 @@ def test_offline_trainer_end_to_end(tmp_path):
     agent2.load(str(ckpts[0]))
 
 
+def test_offline_trainer_end_to_end_sharded(tmp_path):
+    """The mt30/mt80 north-star path: OfflineTrainer with the agent sharded
+    over a ('data','model') mesh — exactly as `train.py mesh_shape=4x2`
+    wires it (mesh passed to the agent, no explicit context manager) — must
+    train, eval, and checkpoint on the virtual 8-device CPU mesh."""
+    import jax
+
+    from tdmpc2_tpu import parallel
+
+    cfg = multitask_cfg(tmp_path, steps=4, eval_freq=4,
+                        data_dir=str(tmp_path / 'data'))
+    env = make_env(cfg)
+    write_synthetic_chunks(tmp_path / 'data', obs_dim=6,
+                           act_dim=cfg.action_dim, rows=cfg.episode_length + 1)
+    mesh = parallel.make_mesh('4x2', devices=jax.devices()[:8])
+    agent = TDMPC2(cfg, mesh=mesh)
+    trainer = OfflineTrainer(cfg=cfg, env=env, agent=agent,
+                             buffer=Buffer(cfg), logger=Logger(cfg))
+    trainer.train()
+    assert trainer.buffer.num_eps == 6
+    # update batches were data-parallel over the mesh; params FSDP-sharded
+    sharded = any(
+        len(getattr(l.sharding, 'spec', ())) and any(l.sharding.spec)
+        for l in jax.tree.leaves(agent.state.params))
+    assert sharded, 'no parameter leaf is sharded over the mesh'
+    ckpts = list((tmp_path / 'work' / 'models').glob('*.pkl'))
+    assert ckpts
+
+
 def test_pt_chunk_loader(tmp_path):
     """TensorDict-style .pt chunks load through torch when available."""
     torch = pytest.importorskip('torch')
