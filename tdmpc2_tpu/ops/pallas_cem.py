@@ -51,7 +51,7 @@ _F32_HUGE = 3.0e38  # finite-value guard (nan_to_num semantics)
 
 
 def _cem_kernel(
-    z0_ref, pi_ref, noise_ref, eps_ref, mean0_ref, std0_ref, amask_ref,
+    z0_ref, pieps_ref, noise_ref, eps_ref, mean0_ref, std0_ref, amask_ref,
     qidx_ref, discs_ref, *refs,
     iterations: int, horizon: int, n_pi: int, num_elites: int,
     temperature: float, min_std: float, max_std: float, episodic: bool,
@@ -76,7 +76,7 @@ def _cem_kernel(
     bins, gmask = take(2)
 
     H, A = horizon, amask_ref.shape[-1]
-    S = pi_ref.shape[1]
+    S = noise_ref.shape[2]
     E = float(num_elites)
 
     def dot(x, w):
@@ -91,9 +91,44 @@ def _cem_kernel(
 
     z0 = z0_ref[0]                                    # [1, L]
     amask = amask_ref[0]                              # [1, A]
-    pi_flat = pi_ref[0]                               # [S, H*A]
     row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     is_pi = (row < n_pi).astype(f32)
+
+    def pi_head(zz):
+        """Policy prior forward: (mean, log_std); the multitask action mask
+        and task embedding are folded into the prepared weights."""
+        u = dot(zz, pW0[:]) + pb0[:]
+        u = _mish(_ln(u, pg0[:], pe0[:]))
+        u = dot(u, pW1[:]) + pb1[:]
+        u = _mish(_ln(u, pg1[:], pe1[:]))
+        pm = dot(u, pWm[:]) + pbm[:]
+        ls = dot(u, pWl[:]) + pbl[:]
+        return pm, log_std_min + 0.5 * log_std_dif * (jnp.tanh(ls) + 1.0)
+
+    def dyn_step(zz, aa):
+        v = dot(zz, dWz[:]) + dot(aa, dWa[:]) + db0[:]
+        v = _mish(_ln(v, dg0[:], de0[:]))
+        v = dot(v, dW1[:]) + db1[:]
+        v = _mish(_ln(v, dg1[:], de1[:]))
+        v = dot(v, dW2[:]) + db2[:]
+        v = _ln(v, dg2[:], de2[:])
+        mv = jnp.max(v, axis=-1, keepdims=True)
+        ev = jnp.exp(v - mv)
+        return ev / dot(ev, gmask[:])
+
+    # -- policy-prior trajectories, rolled out in-kernel (the reference's
+    #    24 pi rollouts, tdmpc2.py:154-160): same resident dyn/pi weights,
+    #    eps pre-generated outside with the XLA path's key sequence
+    pi_rows = []                                      # H x [S, A], pi rows
+    if n_pi > 0:
+        pieps = pieps_ref[0]                          # [n_pi, H*A]
+        zp = z0 + jnp.zeros((n_pi, z0.shape[-1]), f32)
+        pad = jnp.zeros((S - n_pi, A), f32)
+        for t in range(H):
+            pm, ls = pi_head(zp)
+            a_p = jnp.tanh(pm + pieps[:, t * A:(t + 1) * A] * jnp.exp(ls))
+            pi_rows.append(jnp.concatenate([a_p, pad], axis=0))
+            zp = dyn_step(zp, a_p)
 
     mean = mean0_ref[0]                               # [1, H*A]
     std = std0_ref[0]
@@ -106,8 +141,11 @@ def _cem_kernel(
             sl = slice(t * A, (t + 1) * A)
             nz = noise_ref[0, it, :, sl]              # [S, A]
             samp = jnp.clip(mean[:, sl] + std[:, sl] * nz, -1.0, 1.0)
-            a_t = (is_pi * pi_flat[:, sl] + (1.0 - is_pi) * samp) * amask
-            acts.append(a_t)
+            if n_pi > 0:
+                a_t = is_pi * pi_rows[t] + (1.0 - is_pi) * samp
+            else:
+                a_t = samp
+            acts.append(a_t * amask)
 
         # -- H-step latent rollout (reward + dynamics [+ termination])
         z = z0 + jnp.zeros((S, z0.shape[-1]), f32)
@@ -124,15 +162,7 @@ def _cem_kernel(
                 r = (1.0 - term) * r
             G = G + discs_ref[env, t] * r
 
-            v = dot(z, dWz[:]) + dot(a, dWa[:]) + db0[:]
-            v = _mish(_ln(v, dg0[:], de0[:]))
-            v = dot(v, dW1[:]) + db1[:]
-            v = _mish(_ln(v, dg1[:], de1[:]))
-            v = dot(v, dW2[:]) + db2[:]
-            v = _ln(v, dg2[:], de2[:])
-            mv = jnp.max(v, axis=-1, keepdims=True)
-            ev = jnp.exp(v - mv)
-            z = ev / dot(ev, gmask[:])
+            z = dyn_step(z, a)
 
             if episodic:
                 w = dot(z, tW0[:]) + tb0[:]
@@ -143,13 +173,7 @@ def _cem_kernel(
                 term = jnp.minimum(term + (logit > 0.0).astype(f32), 1.0)
 
         # -- terminal policy prior + 2-of-num_q Q bootstrap ('avg' decode)
-        u = dot(z, pW0[:]) + pb0[:]
-        u = _mish(_ln(u, pg0[:], pe0[:]))
-        u = dot(u, pW1[:]) + pb1[:]
-        u = _mish(_ln(u, pg1[:], pe1[:]))
-        pmean = dot(u, pWm[:]) + pbm[:]
-        lstd = dot(u, pWl[:]) + pbl[:]
-        lstd = log_std_min + 0.5 * log_std_dif * (jnp.tanh(lstd) + 1.0)
+        pmean, lstd = pi_head(z)
         a_term = jnp.tanh(pmean + eps_ref[0, it] * jnp.exp(lstd))
 
         q_acc = jnp.zeros((S, 1), f32)
@@ -215,7 +239,7 @@ def amask_flat(amask, horizon):
     return jnp.concatenate([amask] * horizon, axis=-1)
 
 
-def cem_prepared(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0,
+def cem_prepared(prep, z0, pi_eps, noise_flat, eps, qidx, discs, mean0,
                  std0, amask, *, iterations: int, horizon: int, n_pi: int,
                  num_elites: int, temperature: float, min_std: float,
                  max_std: float, episodic: bool, log_std_min: float,
@@ -223,10 +247,11 @@ def cem_prepared(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0,
                  interpret: bool = False):
     """Whole-CEM-loop plan for one env (vmap-safe for batched acting).
 
-    z0 [1, L]; pi_flat [S, H*A] (policy-prior rows, zero elsewhere);
+    z0 [1, L]; pi_eps [max(n_pi,1), H*A] (policy-prior sampling noise — the
+    pi rollouts themselves run in-kernel on the resident dyn/pi weights);
     noise_flat [I, S, H*A]; eps [I, S, A]; qidx [I, 2] i32; discs [H+1];
     mean0/std0 [1, H*A]; amask [1, A] (ones if single-task).
-    Returns (mean [1, H*A], std [1, H*A], v [S, 1], acts_flat [S, H*A]).
+    Returns (mean [H*A], std [H*A], v [S, 1], acts_flat [S, H*A]).
 
     Batched acting vmaps this over the env axis: the custom_vmap rule below
     maps envs to grid programs (one program = one env's full CEM loop) with
@@ -241,15 +266,15 @@ def cem_prepared(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0,
               dot_dtype=dot_dtype, interpret=interpret)
 
     @jax.custom_batching.custom_vmap
-    def call(z0, pi_flat, noise_flat, eps, qidx, discs, mean0, std0, amask,
+    def call(z0, pi_eps, noise_flat, eps, qidx, discs, mean0, std0, amask,
              prep):
-        out = _cem_flat(prep, z0[None], pi_flat[None], noise_flat[None],
+        out = _cem_flat(prep, z0[None], pi_eps[None], noise_flat[None],
                         eps[None], qidx[None], discs[None], mean0[None],
                         std0[None], amask, **kw)
         return jax.tree.map(lambda x: x[0], out)
 
     @call.def_vmap
-    def _batched(axis_size, in_batched, z0, pi_flat, noise_flat, eps, qidx,
+    def _batched(axis_size, in_batched, z0, pi_eps, noise_flat, eps, qidx,
                  discs, mean0, std0, amask, prep):
         (zb, pb, nb, eb, qb, db, mb, sb, ab, wb) = in_batched
         assert not any(jax.tree.leaves(wb)), (
@@ -261,22 +286,22 @@ def cem_prepared(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0,
             return x if batched else jnp.broadcast_to(x, (N,) + x.shape)
 
         out = _cem_flat(
-            prep, bat(z0, zb), bat(pi_flat, pb), bat(noise_flat, nb),
+            prep, bat(z0, zb), bat(pi_eps, pb), bat(noise_flat, nb),
             bat(eps, eb), bat(qidx, qb), bat(discs, db), bat(mean0, mb),
             bat(std0, sb), amask, **kw)
         return out, (True, True, True, True)
 
-    return call(z0, pi_flat, noise_flat, eps, qidx, discs, mean0, std0,
+    return call(z0, pi_eps, noise_flat, eps, qidx, discs, mean0, std0,
                 amask, prep)
 
 
-def _cem_flat(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0, std0,
+def _cem_flat(prep, z0, pi_eps, noise_flat, eps, qidx, discs, mean0, std0,
               amask, *, iterations, horizon, n_pi, num_elites, temperature,
               min_std, max_std, episodic, log_std_min, log_std_dif,
               dot_dtype, interpret):
     """N-env kernel launch: one grid program per env, weights const."""
     N, _, L = z0.shape
-    S, HA = pi_flat.shape[1:]
+    S, HA = noise_flat.shape[2:]
     A = amask.shape[-1]
     I = iterations
     kernel = functools.partial(
@@ -304,7 +329,7 @@ def _cem_flat(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0, std0,
 
     qidx = qidx.astype(jnp.int32)
     discs = discs.astype(jnp.float32)
-    in_specs = ([env_spec(z0), env_spec(pi_flat), env_spec(noise_flat),
+    in_specs = ([env_spec(z0), env_spec(pi_eps), env_spec(noise_flat),
                  env_spec(eps), env_spec(mean0), env_spec(std0),
                  const_spec(amask), smem_full(qidx), smem_full(discs)]
                 + [const_spec(p) for p in prep])
@@ -324,7 +349,7 @@ def _cem_flat(prep, z0, pi_flat, noise_flat, eps, qidx, discs, mean0, std0,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(z0, pi_flat, noise_flat, eps, mean0, std0, amask, qidx, discs, *prep)
+    )(z0, pi_eps, noise_flat, eps, mean0, std0, amask, qidx, discs, *prep)
     return mean[:, 0], std[:, 0], v[:, :, :1], acts
 
 
@@ -347,7 +372,8 @@ def probe_cem_kernel(params, cfg, log_std_min, log_std_dif,
                         cfg.horizon, iterations)
         args = dict(
             z0=jnp.full((1, L), 1.0 / L, jnp.float32),
-            pi_flat=jnp.zeros((S, H * A), jnp.float32),
+            pi_eps=jnp.zeros((max(cfg.num_pi_trajs, 1), H * A),
+                             jnp.float32),
             noise_flat=jnp.zeros((I, S, H * A), jnp.float32),
             eps=jnp.zeros((I, S, A), jnp.float32),
             qidx=jnp.tile(jnp.arange(2, dtype=jnp.int32), (I, 1)),
@@ -369,7 +395,7 @@ def probe_cem_kernel(params, cfg, log_std_min, log_std_dif,
                 prep, z, pf, nf, e, qi, args['discs'], args['mean0'],
                 args['std0'], amask, **kw))(
             *(jnp.broadcast_to(args[k], (n,) + args[k].shape)
-              for k in ('z0', 'pi_flat', 'noise_flat', 'eps', 'qidx')))
+              for k in ('z0', 'pi_eps', 'noise_flat', 'eps', 'qidx')))
         okb = all(bool(np.isfinite(np.asarray(x)).all()) for x in bat)
         return ok and okb
     except Exception as e:  # noqa: BLE001 — any failure means "fall back"

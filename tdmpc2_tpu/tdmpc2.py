@@ -452,8 +452,11 @@ class TDMPC2:
         enc_key = k_enc if cfg.obs == 'rgb' else None
         z0 = self.model.encode(params, obs, task, key=enc_key)  # [1, L]
 
-        # Policy-prior trajectories (reference tdmpc2.py:154-160).
-        if n_pi > 0:
+        # Policy-prior trajectories (reference tdmpc2.py:154-160). With the
+        # whole-CEM kernel, the rollouts run IN-kernel on the resident
+        # dyn/pi weights; only the per-step sampling noise is drawn here
+        # (same keys/shapes as model.pi would consume in the scan).
+        if n_pi > 0 and not self._fused_cem:
             def pi_step(carry, k):
                 z = carry
                 a, _ = self.model.pi(params, z, k, task)
@@ -500,16 +503,20 @@ class TDMPC2:
                 noises.append(jnp.moveaxis(r_pad, 0, 1).reshape(S, H * A))
                 epss.append(eps_j)
             if n_pi > 0:
-                pi_pad = jnp.pad(pi_actions, ((0, 0), (0, S - n_pi), (0, 0)))
-                pi_flat = jnp.moveaxis(pi_pad, 0, 1).reshape(S, H * A)
+                pi_eps_steps = [
+                    jax.random.normal(kh, (n_pi, A), jnp.float32)
+                    for kh in jax.random.split(k_pi_roll, H)]
+                if cfg.multitask:  # model.pi masks eps (world_model.py)
+                    pi_eps_steps = [e * a_mask for e in pi_eps_steps]
+                pi_eps = jnp.concatenate(pi_eps_steps, axis=-1)  # [n_pi,H*A]
             else:
-                pi_flat = jnp.zeros((S, H * A), jnp.float32)
+                pi_eps = jnp.zeros((1, H * A), jnp.float32)
             discount_f = jnp.asarray(self._task_discount(task), jnp.float32)
             discs = discount_f ** jnp.arange(H + 1)
             amask_row = (a_mask if a_mask is not None
                          else jnp.ones((1, A), jnp.float32))
             mean_f, std_f, value, acts_flat = cem_prepared(
-                prep, z0, pi_flat, jnp.stack(noises), jnp.stack(epss),
+                prep, z0, pi_eps, jnp.stack(noises), jnp.stack(epss),
                 jnp.stack(qidxs), discs, mean0.reshape(1, H * A),
                 std0.reshape(1, H * A), amask_row,
                 iterations=self.iterations, horizon=H, n_pi=n_pi,
