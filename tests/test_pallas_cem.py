@@ -111,6 +111,26 @@ def test_cem_kernel_plan_vec_matches_per_env():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_cem_kernel_no_pi_trajs():
+    """n_pi=0 (pure CEM, no policy-prior rows) must also match XLA."""
+    cfg = _small(parse_cfg(Config(task='toy')))
+    cfg.num_pi_trajs = 0
+    agent = TDMPC2(cfg)
+    params = _perturb(agent.state.params)
+    obs, prev_mean, t0, key = _plan_args(agent, cfg)
+    a_ref, mean_ref, _ = agent._plan(params, obs, prev_mean, t0, key, None,
+                                     eval_mode=True)
+    agent._fused_cem = True
+    agent._cem_interpret = True
+    agent._pallas_dot_dtype = jnp.float32
+    a_cem, mean_cem, _ = agent._plan(params, obs, prev_mean, t0, key, None,
+                                     eval_mode=True)
+    np.testing.assert_allclose(np.asarray(mean_cem), np.asarray(mean_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_cem), np.asarray(a_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_cem_kernel_all_tied_values_finite():
     """Zero-init reward/Q heads make every sample's value identical at the
     first plan — the bisection elite weighting degrades to a uniform E/S
