@@ -45,10 +45,14 @@ def main():
     prev_mean = agent.state.prev_mean[0]
     key = agent.state.key
     t0 = jnp.asarray(False)
+    # cached fused-kernel weight prep, exactly as act()/evaluate use it
+    # (recomputed only when params change — params are fixed here)
+    prep = agent._cached_prep(None)
 
     # -- planner throughput (sequential, state-chained like a real env loop;
     #    best of several trials to reject tunnel-latency noise)
-    a, prev_mean, key = plan(agent.state.params, obs, prev_mean, t0, key, None)
+    a, prev_mean, key = plan(
+        agent.state.params, obs, prev_mean, t0, key, None, prep)
     jax.block_until_ready(a)  # compile
     n_plan, trials = 200, 4
     plans_per_s = 0.0
@@ -56,7 +60,7 @@ def main():
         start = time.perf_counter()
         for _ in range(n_plan):
             a, prev_mean, key = plan(
-                agent.state.params, obs, prev_mean, t0, key, None)
+                agent.state.params, obs, prev_mean, t0, key, None, prep)
         jax.block_until_ready(a)
         plans_per_s = max(plans_per_s, n_plan / (time.perf_counter() - start))
 

@@ -127,6 +127,10 @@ class TDMPC2:
         self._fused_cem = False
         self._cem_interpret = False   # tests: run the kernel interpreted
         self._pallas_dot_dtype = jnp.bfloat16  # tests: f32 for exact parity
+        self._prep_cache = None       # act()-level weight-prep cache
+        self._prep_params = None
+        self._prep_task = None
+        self._prep_jit = jax.jit(self._prepare_value)
         if self._fused_rollout:
             from tdmpc2_tpu.ops.pallas_cem import probe_cem_kernel
             self._fused_cem = probe_cem_kernel(
@@ -324,6 +328,7 @@ class TDMPC2:
         if single:
             obs = obs[None]
         n = obs.shape[0]
+        prep = self._cached_prep(task) if self.cfg.mpc else None
         task = jnp.asarray([task]) if task is not None else None
         st = self.state
         if self.cfg.mpc:
@@ -331,7 +336,7 @@ class TDMPC2:
             # device dispatch; all slicing/scattering happens inside the jit.
             t0v = np.broadcast_to(np.asarray(t0, bool).reshape(-1), (n,))
             a, prev_mean, key = self._plan_vec_jit[bool(eval_mode)](
-                st.params, obs, st.prev_mean, t0v, st.key, task)
+                st.params, obs, st.prev_mean, t0v, st.key, task, prep)
             self.state = st.replace(prev_mean=prev_mean, key=key)
         else:
             a, key = self._pi_act_jit[bool(eval_mode)](
@@ -347,7 +352,8 @@ class TDMPC2:
         a = info['mean'] if eval_mode else action
         return a, k_next
 
-    def _plan_vec(self, params, obs, prev_mean, t0, key, task, eval_mode: bool):
+    def _plan_vec(self, params, obs, prev_mean, t0, key, task, prep=None,
+                  *, eval_mode: bool):
         """Plan for n envs in one call: vmap the MPPI kernel over the env
         axis. obs [n, ...], prev_mean [N, H, A] (full state, n <= N),
         t0 [n] -> (actions [n, A], updated prev_mean [N, H, A], key)."""
@@ -355,8 +361,8 @@ class TDMPC2:
         keys = jax.random.split(key, n + 1)
         actions, means, _ = jax.vmap(
             partial(self._plan, eval_mode=eval_mode),
-            in_axes=(None, 0, 0, 0, 0, None))(
-            params, obs[:, None], prev_mean[:n], t0, keys[:n], task)
+            in_axes=(None, 0, 0, 0, 0, None, None))(
+            params, obs[:, None], prev_mean[:n], t0, keys[:n], task, prep)
         if n == prev_mean.shape[0]:
             prev_mean = means
         else:
@@ -365,6 +371,24 @@ class TDMPC2:
         return actions, prev_mean, keys[n]
 
     # ------------------------------------------------------------- planning
+
+    def _cached_prep(self, task):
+        """Agent-level cache of the fused-kernel weight prep: recomputed
+        only when `self.state.params` is a NEW pytree (every update/load
+        produces one — identity is the invalidation key, so direct state
+        assignment invalidates too) or the task changes. Saves ~10 MB of
+        cast/slice HBM traffic per plan for act/eval-heavy workloads."""
+        if not (self._fused_rollout or self._fused_cem):
+            return None
+        tk = None if task is None else int(task)
+        st_params = self.state.params
+        if (self._prep_cache is None or self._prep_params is not st_params
+                or self._prep_task != tk):
+            t = None if tk is None else jnp.asarray([tk])
+            self._prep_cache = self._prep_jit(st_params, t)
+            self._prep_params = st_params
+            self._prep_task = tk
+        return self._prep_cache
 
     def _prepare_value(self, params, task):
         """Prepared (pre-sliced/cast, emb-and-mask-folded) weights for the
@@ -437,10 +461,15 @@ class TDMPC2:
         q = self.model.Q(params, z, action, key=k_q, task=task, return_type='avg')
         return G + disc * (1.0 - term) * q
 
-    def _plan(self, params, obs, prev_mean, t0, key, task, eval_mode: bool):
+    def _plan(self, params, obs, prev_mean, t0, key, task, prep=None,
+              *, eval_mode: bool):
         """MPPI planner as one fused kernel (reference tdmpc2.py:138-206).
 
         Returns (action [A], new_prev_mean [H, A], new_key).
+
+        `prep` (optional) is the pre-cast/sliced fused-kernel weight tuple;
+        `act()` passes the agent-level cached copy so the ~10 MB cast/slice
+        runs once per parameter update, not once per plan.
         """
         cfg = self.cfg
         H, S, E = cfg.horizon, cfg.num_samples, cfg.num_elites
@@ -465,10 +494,11 @@ class TDMPC2:
             _, pi_actions = jax.lax.scan(
                 pi_step, zp, jax.random.split(k_pi_roll, H))  # [H, n_pi, A]
 
-        # pre-cast/slice the fused-kernel weights once per plan, outside
-        # the CEM loop (weights are loop-invariant)
-        prep = (self._prepare_value(params, task)
-                if (self._fused_rollout or self._fused_cem) else None)
+        # fused-kernel weights: caller-provided (cached across plans) or
+        # prepared here, outside the CEM loop (weights are loop-invariant)
+        if prep is None:
+            prep = (self._prepare_value(params, task)
+                    if (self._fused_rollout or self._fused_cem) else None)
 
         z = jnp.broadcast_to(z0, (S, z0.shape[-1]))
         mean0 = jnp.where(

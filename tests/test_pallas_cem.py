@@ -131,6 +131,27 @@ def test_cem_kernel_no_pi_trajs():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_prep_cache_invalidates_on_new_params():
+    """act()'s weight-prep cache keys on params-pytree identity: any update/
+    load/assignment produces a new pytree and must recompute; same params
+    must hit the cache (no per-plan 10 MB cast)."""
+    agent, cfg, _ = _make_agent('single')
+    agent._fused_cem = True      # enable the prep path on CPU
+    p1 = agent._cached_prep(None)
+    assert p1 is agent._cached_prep(None)          # cache hit
+    agent.state = agent.state.replace(
+        params=jax.tree.map(lambda x: x + 0, agent.state.params))
+    p2 = agent._cached_prep(None)
+    assert p2 is not p1                            # identity-invalidated
+    # and the planner accepts the cached prep end-to-end
+    agent._cem_interpret = True
+    agent._pallas_dot_dtype = jnp.float32
+    obs, prev_mean, t0, key = _plan_args(agent, cfg)
+    a, _, _ = agent._plan(agent.state.params, obs, prev_mean, t0, key, None,
+                          eval_mode=True, prep=agent._cached_prep(None))
+    assert np.isfinite(np.asarray(a)).all()
+
+
 def test_cem_kernel_all_tied_values_finite():
     """Zero-init reward/Q heads make every sample's value identical at the
     first plan — the bisection elite weighting degrades to a uniform E/S
