@@ -178,6 +178,10 @@ class Config:
     save_video: bool = False
     save_agent: bool = True
     seed: int = 1
+    # fleet training: 'seeds=1,2,3' trains K seeds of the task simultaneously
+    # in ONE process (seed-stacked TrainState, fused act/update/replay across
+    # seeds — tdmpc2_tpu/fleet.py). Single-task online, state obs only.
+    seeds: Any = None
 
     # convenience — filled by parse_cfg / env factory (reference's `???` fields)
     work_dir: Optional[str] = None

@@ -42,6 +42,27 @@ def _make_single_env(cfg):
         f'are installed and the task exists. Tried: {errors}')
 
 
+def make_fleet_env(cfg, seeds):
+    """Flat vector of K seeds x cfg.num_envs copies for fleet training:
+    copy (k, i) is seeded seeds[k] + 1000*i — the exact env-seed layout K
+    separate single-seed runs would use. Populates cfg env fields like
+    make_env."""
+    seed_list = [int(s) + 1000 * i for s in seeds
+                 for i in range(int(cfg.get('num_envs') or 1))]
+    mode = cfg.get('vec_mode', 'auto')
+    if mode == 'auto':
+        mode = ('subproc' if cfg.get('obs') == 'rgb'
+                and not str(cfg.task).startswith('toy') else 'inproc')
+    if mode == 'subproc':
+        from tdmpc2_tpu.envs.subproc import SubprocVecEnv
+        env = SubprocVecEnv(cfg, seed_list=seed_list)
+    else:
+        from tdmpc2_tpu.envs.vec import make_vec_env
+        env = make_vec_env(cfg, _make_single_env, seed_list=seed_list)
+    _fill_env_cfg(cfg, env)
+    return env
+
+
 def make_env(cfg):
     """Make an environment and populate env-derived config fields.
 
@@ -65,6 +86,11 @@ def make_env(cfg):
             env = make_vec_env(cfg, _make_single_env)
     else:
         env = _make_single_env(cfg)
+    _fill_env_cfg(cfg, env)
+    return env
+
+
+def _fill_env_cfg(cfg, env):
     obs_space = env.observation_space
     if isinstance(obs_space, dict):
         cfg.obs_shape = {k: v.shape for k, v in obs_space.items()}
@@ -73,4 +99,3 @@ def make_env(cfg):
     cfg.action_dim = env.action_space.shape[0]
     cfg.episode_length = env.max_episode_steps
     cfg.seed_steps = max(1000, 5 * cfg.episode_length)
-    return env

@@ -49,8 +49,11 @@ def _worker(remote, cfg):
 class SubprocVecEnv:
     """N same-task env copies in worker processes; VecEnv-compatible API."""
 
-    def __init__(self, cfg, num_envs=None):
-        n = int(num_envs or cfg.num_envs)
+    def __init__(self, cfg, num_envs=None, seed_list=None):
+        seeds = (list(seed_list) if seed_list is not None
+                 else [cfg.seed + 1000 * i   # decorrelated init, like vec.py
+                       for i in range(int(num_envs or cfg.num_envs))])
+        n = len(seeds)
         assert n > 0
         # spawn (not fork): the parent may hold a live TPU client whose
         # state must not leak into children
@@ -58,7 +61,7 @@ class SubprocVecEnv:
         self._remotes, self._procs = [], []
         for i in range(n):
             _cfg = deepcopy(cfg)
-            _cfg.seed = cfg.seed + 1000 * i  # decorrelated init, like vec.py
+            _cfg.seed = int(seeds[i])
             _cfg.num_envs = 1
             parent, child = ctx.Pipe()
             p = ctx.Process(target=_worker, args=(child, _cfg), daemon=True)

@@ -51,12 +51,17 @@ class VecEnv:
         return self.envs[0].render(*args, **kwargs)
 
 
-def make_vec_env(cfg, make_single):
-    """Build a VecEnv of cfg.num_envs copies with decorrelated seeds."""
+def make_vec_env(cfg, make_single, seed_list=None):
+    """Build a VecEnv of decorrelated same-task copies.
+
+    Default: cfg.num_envs copies seeded cfg.seed + 1000*i. `seed_list`
+    overrides both count and seeds (fleet training: K seeds x N copies)."""
     from copy import deepcopy
+    seeds = (list(seed_list) if seed_list is not None
+             else [cfg.seed + 1000 * i for i in range(cfg.num_envs)])
     envs = []
-    for i in range(cfg.num_envs):
+    for s in seeds:
         _cfg = deepcopy(cfg)
-        _cfg.seed = cfg.seed + 1000 * i
+        _cfg.seed = int(s)
         envs.append(make_single(_cfg))
     return VecEnv(envs)

@@ -1,0 +1,135 @@
+"""Fleet agent: K seeds of one task trained simultaneously on one chip.
+
+No reference counterpart — the reference runs one seed per process
+(tdmpc2/train.py:26-60) and its published evidence is 3 seeds x 104 tasks of
+such runs (results/tdmpc2/*.csv). On TPU the seed axis is just another batch
+dimension: the fleet holds ONE TrainState whose leaves carry a leading [K]
+seed axis (`jax.vmap` of the single-agent init over per-seed PRNG keys), and
+every hot entry point is the single-agent function vmapped over that axis:
+
+- `act`: vmap of the batched planner (`TDMPC2._plan_vec`) over seeds — one
+  dispatch plans K x N envs (params mapped per seed, unlike the env-axis
+  vmap where they are shared).
+- `update_many`: vmap of the fused update scan — one dispatch performs
+  K x n gradient updates, each seed on its own replay draws.
+
+Why this wins: the tunneled single-chip online loop is dispatch-latency-bound
+(docs/PERFORMANCE.md), so K separate processes would serialize K round trips
+per step (plus head-of-line blocking between JAX clients); the fleet pays
+ONE round trip for K seeds' actions. The per-seed numerics are exactly the
+single-agent numerics (tested: tests/test_fleet.py equivalence tests).
+
+The Pallas planner kernels are disabled in fleet mode: their custom_vmap
+rules keep weights unbatched by design (VMEM-resident per-program weights
+cannot carry a seed axis); the XLA planner — which is ~parity in-context on
+this chip — is used instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+
+class FleetAgent:
+    """K single-task agents with a seed-stacked TrainState."""
+
+    def __init__(self, cfg, seeds):
+        self.seeds = [int(s) for s in seeds]
+        self.K = len(self.seeds)
+        assert self.K >= 1 and len(set(self.seeds)) == self.K, \
+            f'seeds must be distinct, got {self.seeds}'
+        assert not cfg.multitask, 'fleet training is single-task online'
+        assert cfg.mpc, 'fleet agent plans (mpc=true)'
+        # Pallas kernels assert unbatched weights in their vmap rules; the
+        # fleet maps params over seeds, so force the XLA planner.
+        self.cfg = cfg.replace(use_pallas=False)
+        self.agent = TDMPC2(self.cfg)   # template: jitted fns + cfg handle
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
+        # identical per-seed numerics to TDMPC2(cfg.replace(seed=s)): the
+        # init is key-deterministic, so vmapping it over the stacked keys
+        # reproduces each single-agent init exactly (tested)
+        self.state = jax.vmap(self.agent._init_state)(keys)
+
+        self._act_jit = {
+            em: jax.jit(jax.vmap(
+                partial(self.agent._plan_vec, eval_mode=em),
+                in_axes=(0, 0, 0, 0, 0, None, None)))
+            for em in (False, True)}
+        self._update_scan_jit = jax.jit(
+            jax.vmap(self.agent._update_scan), donate_argnums=0)
+
+    # ------------------------------------------------------------------ act
+
+    def act(self, obs, t0=False, eval_mode=False):
+        """Plan actions for all seeds' envs in one device call.
+
+        obs [K, N, ...]; t0 scalar or [K, N] -> actions [K, N, A] (numpy).
+        """
+        obs = jnp.asarray(obs)
+        K, N = obs.shape[:2]
+        assert K == self.K
+        t0v = np.broadcast_to(np.asarray(t0, bool), (K, N))
+        st = self.state
+        a, prev_mean, keys = self._act_jit[bool(eval_mode)](
+            st.params, obs, st.prev_mean, t0v, st.key, None, None)
+        self.state = st.replace(prev_mean=prev_mean, key=keys)
+        return np.asarray(a)
+
+    # ------------------------------------------------------------- learning
+
+    def update_many(self, buffer, n: int):
+        """n gradient updates per seed, all fused into one device call.
+
+        `buffer` is a FleetBuffer; its one sample dispatch yields every
+        seed's n batches. Returns the last update's metrics averaged over
+        seeds (per-seed curves live in the eval logs, not the train ticker).
+        """
+        batch = buffer.sample_many(n)
+        self.state, infos = self._update_scan_jit(self.state, *batch[:-1])
+        return {k: jnp.mean(v, axis=0) for k, v in infos.items()}
+
+    # -------------------------------------------------------- checkpointing
+
+    def seed_state(self, k: int):
+        return jax.tree.map(lambda x: x[k], self.state)
+
+    def save_seed(self, k: int, fp, extra=None):
+        """Write seed k's slice as a standard single-agent checkpoint, so
+        evaluate.py / resume / torch-interop tooling work on fleet outputs
+        unchanged."""
+        single = self.agent
+        old = single.state
+        try:
+            single.state = self.seed_state(k)
+            single.save(fp, extra=extra)
+        finally:
+            single.state = old
+
+    def load_seeds(self, fps) -> list:
+        """Load one checkpoint per seed and stack them into the fleet state.
+        Returns the per-seed `extra` dicts."""
+        assert len(fps) == self.K
+        single = self.agent
+        old = single.state
+        states, extras = [], []
+        try:
+            for k, fp in enumerate(fps):
+                single.state = self.seed_state(k)
+                extras.append(single.load(str(fp)))
+                states.append(single.state)
+        finally:
+            single.state = old
+        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        return extras
+
+    def work_dir(self, k: int) -> Path:
+        """Per-seed log directory (same layout as single-seed runs)."""
+        root = Path(self.cfg.work_dir).parent.parent
+        return root / str(self.seeds[k]) / self.cfg.exp_name

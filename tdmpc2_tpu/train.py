@@ -51,6 +51,14 @@ def train(cfg):
         import jax
         jax.profiler.start_server(int(cfg.profiler_port))
     set_seed(cfg.seed)
+    seeds = _parse_seeds(cfg.get('seeds'))
+    if seeds is not None and len(seeds) == 1:
+        cfg.seed = seeds[0]   # fleet of one == a plain single-seed run
+        from tdmpc2_tpu.config import parse_cfg
+        parse_cfg(cfg)        # re-derive work_dir for the chosen seed
+        seeds = None
+    if seeds is not None:
+        return _train_fleet(cfg, seeds)
     env = make_env(cfg)
     mesh = None
     if cfg.mesh_shape is not None:
@@ -67,6 +75,39 @@ def train(cfg):
     else:
         cls = OnlineTrainer
     trainer = cls(cfg=cfg, env=env, agent=agent, buffer=buffer, logger=logger)
+    trainer.train()
+    print('Training completed successfully')
+
+
+def _parse_seeds(seeds):
+    if seeds is None:
+        return None
+    if isinstance(seeds, int):
+        return [seeds]
+    if isinstance(seeds, str):
+        return [int(s) for s in seeds.replace(' ', '').split(',') if s]
+    return [int(s) for s in seeds]
+
+
+def _train_fleet(cfg, seeds):
+    """K-seed fleet training (tdmpc2_tpu/fleet.py): one process, one chip,
+    per-seed artifacts identical to K single-seed runs."""
+    from tdmpc2_tpu.data.fleet_buffer import FleetBuffer
+    from tdmpc2_tpu.envs import make_fleet_env
+    from tdmpc2_tpu.fleet import FleetAgent
+    from tdmpc2_tpu.trainer.fleet_online import FleetOnlineTrainer
+
+    assert not cfg.multitask, 'fleet training is single-task online'
+    env = make_fleet_env(cfg, seeds)
+    agent = FleetAgent(cfg, seeds)
+    buffer = FleetBuffer(cfg, len(seeds))
+    loggers = []
+    for k, s in enumerate(seeds):
+        cfg_k = cfg.replace(seed=int(s),
+                            work_dir=str(agent.work_dir(k)))
+        loggers.append(Logger(cfg_k))
+    trainer = FleetOnlineTrainer(cfg=cfg, env=env, agent=agent,
+                                 buffer=buffer, loggers=loggers)
     trainer.train()
     print('Training completed successfully')
 

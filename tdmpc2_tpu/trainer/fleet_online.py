@@ -1,0 +1,278 @@
+"""Fleet online trainer: K seeds x N env copies of one task in one process.
+
+No reference counterpart — the reference's 3-seed evidence grid is 3
+independent runs per task (results/tdmpc2/*.csv); this trainer produces the
+same per-seed artifacts (logs/<task>/<seed>/<exp>/eval.csv + checkpoints, the
+exact layout single-seed runs and scripts/export_results.py use) from ONE
+process whose device work is fused across seeds: one planner dispatch for all
+K x N envs, one update dispatch for all K x N gradient steps, one replay
+sample for all K seeds (tdmpc2_tpu/fleet.py, data/fleet_buffer.py).
+
+Reference loop semantics are preserved PER SEED (tdmpc2/trainer/
+online_trainer.py:74-127): random actions for the first seed_steps, a
+seed_steps pretrain burst at the first update, one gradient update per env
+step, episodes buffered with the NaN bootstrap row, per-env-slot episode
+boundaries (episodic tasks supported, like trainer/vec_online.py).
+"""
+
+from __future__ import annotations
+
+from time import time
+
+import numpy as np
+
+
+class FleetOnlineTrainer:
+    def __init__(self, cfg, env, agent, buffer, loggers):
+        self.cfg = cfg
+        self.env = env          # flat K*N env vector (envs.make_fleet_env)
+        self.agent = agent      # FleetAgent
+        self.buffer = buffer    # FleetBuffer
+        self.loggers = loggers  # one Logger per seed
+        self.K = agent.K
+        self.N = env.num_envs // agent.K
+        assert env.num_envs == self.K * self.N
+        single = agent.agent    # template TDMPC2 (unstacked param counts)
+        print('Agent parameters: '
+              f'{single.model.total_params(single.state.params):,} '
+              f'x {self.K} seeds')
+        self._step = 0                            # per-seed env steps
+        self._ep_idx = np.zeros(self.K, np.int64)
+        self._start_time = time()
+
+    # ----------------------------------------------------------- utilities
+
+    def common_metrics(self, k: int):
+        elapsed = time() - self._start_time
+        return dict(step=self._step, episode=int(self._ep_idx[k]),
+                    elapsed_time=elapsed,
+                    steps_per_second=self._step / max(elapsed, 1e-9))
+
+    def _obs_kn(self, obs_flat):
+        return np.asarray(obs_flat).reshape(
+            (self.K, self.N) + np.asarray(obs_flat).shape[1:])
+
+    # -- per-slot episode buffers (flat index j = k*N + i) -----------------
+
+    def _start_episodes(self, obs_flat):
+        kn = self.K * self.N
+        a_shape = self.env.action_space.shape
+        self._ep_obs = [[np.asarray(obs_flat[j])] for j in range(kn)]
+        self._ep_action = [[np.full(a_shape, np.nan, np.float32)]
+                           for _ in range(kn)]
+        self._ep_reward = [[np.nan] for _ in range(kn)]
+        self._ep_terminated = [[np.nan] for _ in range(kn)]
+
+    def _reset_episode_at(self, j, obs_j):
+        a_shape = self.env.action_space.shape
+        self._ep_obs[j] = [np.asarray(obs_j)]
+        self._ep_action[j] = [np.full(a_shape, np.nan, np.float32)]
+        self._ep_reward[j] = [np.nan]
+        self._ep_terminated[j] = [np.nan]
+
+    def _record_steps(self, obs_flat, actions_flat, rewards, infos):
+        for j in range(self.K * self.N):
+            self._ep_obs[j].append(np.asarray(obs_flat[j]))
+            self._ep_action[j].append(np.asarray(actions_flat[j], np.float32))
+            self._ep_reward[j].append(float(rewards[j]))
+            self._ep_terminated[j].append(float(infos[j]['terminated']))
+
+    def _episode_rows(self, j):
+        rows = self.buffer._rows
+        n = len(self._ep_obs[j])
+
+        def padto(x):
+            x = np.stack(x).astype(np.float32) if np.ndim(x[0]) else \
+                np.asarray(x, np.float32)
+            if x.shape[0] < rows:
+                pad = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                x = np.pad(x, pad)
+            return x
+        return dict(obs=padto(self._ep_obs[j]),
+                    action=padto(self._ep_action[j]),
+                    reward=padto(self._ep_reward[j]),
+                    terminated=padto(self._ep_terminated[j])), n
+
+    def _flush_seed(self, k, done_slots):
+        """Stack seed k's finished episodes into ONE buffer write."""
+        eps, valids = [], []
+        for j in done_slots:
+            ep, n = self._episode_rows(j)
+            eps.append(ep)
+            valids.append(n)
+        block = {key: np.stack([e[key] for e in eps]) for key in eps[0]}
+        block['valid_rows'] = np.asarray(valids, np.int32)
+        self._ep_idx[k] = self.buffer.add(k, block)
+
+    # ----------------------------------------------------------- resume/ckpt
+
+    def _ckpt_path(self, k):
+        return self.agent.work_dir(k) / 'models' / 'latest.pkl'
+
+    def maybe_resume(self):
+        if not self.cfg.resume:
+            return
+        fps = [self._ckpt_path(k) for k in range(self.K)]
+        if not all(fp.exists() for fp in fps):
+            print('resume=true but not every seed has a checkpoint; '
+                  'starting fresh.')
+            return
+        extras = self.agent.load_seeds(fps)
+        steps = [int(e.get('step', 0)) for e in extras]
+        self._step = min(steps)
+        self._ep_idx = np.asarray(
+            [int(e.get('ep_idx', 0)) for e in extras], np.int64)
+        self._resumed = True
+        print(f'Resumed fleet ({self.K} seeds) at step {self._step:,}.')
+
+    def _checkpoint(self):
+        if not self.cfg.save_agent:
+            return
+        for k in range(self.K):
+            self.agent.save_seed(
+                k, self._ckpt_path(k),
+                extra=dict(step=self._step, ep_idx=int(self._ep_idx[k])))
+
+    # ------------------------------------------------------------------ eval
+
+    def eval(self):
+        """Greedy evaluation, all seeds at once: each seed's N env copies run
+        episodes until every seed has cfg.eval_episodes of them."""
+        K, N = self.K, self.N
+        rewards = [[] for _ in range(K)]
+        successes = [[] for _ in range(K)]
+        lengths = [[] for _ in range(K)]
+
+        def need():
+            return any(len(r) < self.cfg.eval_episodes for r in rewards)
+
+        while need():
+            obs = self.env.reset()
+            ep_reward = np.zeros(K * N)
+            t = np.zeros(K * N, np.int64)
+            active = np.ones(K * N, bool)
+            while active.any():
+                acts = self.agent.act(
+                    self._obs_kn(obs), t0=(t == 0).reshape(K, N),
+                    eval_mode=True)
+                obs, rews, dones, infos = self.env.step(
+                    acts.reshape(K * N, -1))
+                ep_reward += rews * active
+                t += 1
+                for j in np.flatnonzero(np.asarray(dones) & active):
+                    active[j] = False
+                    k = j // N
+                    if len(rewards[k]) < self.cfg.eval_episodes:
+                        rewards[k].append(float(ep_reward[j]))
+                        successes[k].append(infos[j].get('success', 0.0))
+                        lengths[k].append(int(t[j]))
+                for j in np.flatnonzero(dones):
+                    obs[j] = self.env.reset_at(j)
+                    t[j] = 0
+        return [dict(episode_reward=float(np.nanmean(rewards[k])),
+                     episode_success=float(np.nanmean(successes[k])),
+                     episode_length=float(np.nanmean(lengths[k])))
+                for k in range(K)]
+
+    # ----------------------------------------------------------------- train
+
+    def train(self):
+        cfg = self.cfg
+        K, N = self.K, self.N
+        self.maybe_resume()
+        train_metrics = {}
+        next_eval_at = (self._step // cfg.eval_freq) * cfg.eval_freq
+        ep_stats = [dict(r=[], s=[], l=[], t=[]) for _ in range(K)]
+        pretrained = getattr(self, '_resumed', False)
+        obs = None
+
+        while self._step <= cfg.steps:
+            if self._step >= next_eval_at:
+                for k, em in enumerate(self.eval()):
+                    em.update(self.common_metrics(k))
+                    self.loggers[k].log(em, 'eval')
+                self._checkpoint()
+                next_eval_at += cfg.eval_freq
+                obs = None  # train episodes were interrupted by eval
+
+            if obs is None:
+                obs = self.env.reset()
+                self._start_episodes(obs)
+                t_in_ep = np.zeros(K * N, np.int64)
+
+            if self._step > cfg.seed_steps:
+                actions = self.agent.act(
+                    self._obs_kn(obs),
+                    t0=(t_in_ep == 0).reshape(K, N)).reshape(K * N, -1)
+            else:
+                actions = self.env.rand_act()
+
+            # dispatch the fused K*N-update BEFORE stepping the envs: it
+            # consumes replay only, so host physics overlaps device compute
+            if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
+                if not pretrained:
+                    pretrained = True
+                    print('Pretraining agents on seed data...')
+                    for _ in range(cfg.seed_steps // N):
+                        _tm = self.agent.update_many(self.buffer, N)
+                    if cfg.seed_steps % N:
+                        _tm = self.agent.update_many(
+                            self.buffer, cfg.seed_steps % N)
+                else:
+                    # N updates per seed (1 per env step), one device call
+                    _tm = self.agent.update_many(self.buffer, N)
+                train_metrics.update(_tm)
+
+            obs, rewards, dones, infos = self.env.step(actions)
+            self._record_steps(obs, actions, rewards, infos)
+            t_in_ep += 1
+            self._step += N
+
+            done_idx = np.flatnonzero(dones)
+            for k in range(K):
+                slots = [j for j in done_idx if j // N == k]
+                if not slots:
+                    continue
+                for j in slots:
+                    if infos[j].get('terminated', 0) and not cfg.episodic:
+                        raise ValueError(
+                            'Termination detected but episodic=false. Set '
+                            'episodic=true to enable termination support.')
+                    ep_stats[k]['r'].append(
+                        float(np.nansum(self._ep_reward[j][1:])))
+                    ep_stats[k]['s'].append(infos[j].get('success', 0.0))
+                    ep_stats[k]['l'].append(len(self._ep_obs[j]) - 1)
+                    ep_stats[k]['t'].append(infos[j].get('terminated', 0.0))
+                self._flush_seed(k, slots)
+                for j in slots:
+                    obs[j] = self.env.reset_at(j)
+                    self._reset_episode_at(j, obs[j])
+                    t_in_ep[j] = 0
+
+            if any(len(st['r']) >= N for st in ep_stats) or (
+                    dones[0] and ep_stats[0]['r']):
+                for k in range(K):
+                    if not ep_stats[k]['r']:
+                        continue
+                    m = dict(train_metrics)
+                    m.update(
+                        episode_reward=float(np.mean(ep_stats[k]['r'])),
+                        episode_success=float(np.mean(ep_stats[k]['s'])),
+                        episode_length=float(np.mean(ep_stats[k]['l'])),
+                        episode_terminated=float(np.mean(ep_stats[k]['t'])),
+                        num_episodes=len(ep_stats[k]['r']))
+                    m.update(self.common_metrics(k))
+                    self.loggers[k].log(m, 'train')
+                    ep_stats[k] = dict(r=[], s=[], l=[], t=[])
+
+        self.finish()
+
+    def finish(self):
+        self._checkpoint()
+        for lg in self.loggers:
+            lg.finish(agent=None)
+        if hasattr(self.env, 'close'):
+            try:
+                self.env.close()
+            except Exception:
+                pass
