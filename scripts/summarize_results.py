@@ -4,7 +4,12 @@ table (for README / status docs).
 
 For every task CSV under results/<variant>/, prints per-seed final return at
 the last logged step, alongside the reference mean (over its 3 seeds) at the
-closest logged step <= ours and at the reference's own final step.
+closest logged step <= ours and at the reference's own final step, plus
+curve dominance: at how many of our logged eval steps (past the 10%
+burn-in) we are at or above the reference mean at that step — a single
+final-point comparison misrepresents curves that lead throughout but
+fluctuate at the last eval (eval returns are 10-episode means; the
+reference's own curves fluctuate comparably between adjacent evals).
 
 Usage: python scripts/summarize_results.py [variant] [ref_variant]
   variant:     results subdirectory (default tdmpc2_tpu)
@@ -53,8 +58,9 @@ def main():
     out_dir = Path('results') / variant
     if not out_dir.is_dir():
         sys.exit(f'no {out_dir}')
-    print(f'| task | seed | ours @step | ref mean @<=step | ref final |')
-    print(f'|---|---|---|---|---|')
+    print('| task | seed | ours @step | ref mean @<=step | ref final '
+          '| ours>=ref |')
+    print('|---|---|---|---|---|---|')
     for fp in sorted(out_dir.glob('*.csv')):
         task = fp.stem
         ours = _by_seed(fp)
@@ -66,12 +72,23 @@ def main():
                 rmean, rat = _ref_mean_at(ref, step)
                 rfinal_step = max(c[-1][0] for c in ref.values())
                 rfinal, _ = _ref_mean_at(ref, rfinal_step)
+                # curve dominance past the 10% burn-in
+                wins = total = 0
+                for s, v in ours[seed]:
+                    if s < 0.1 * step:
+                        continue
+                    rm, _at = _ref_mean_at(ref, s)
+                    if _at is None:
+                        continue
+                    total += 1
+                    wins += v >= rm
+                dom = f'{wins}/{total}' if total else '—'
                 print(f'| {task} | {seed} | {val:.1f} @{step:,} '
                       f'| {rmean:.1f} @{rat:,} | {rfinal:.1f} '
-                      f'@{rfinal_step:,} |')
+                      f'@{rfinal_step:,} | {dom} |')
             else:
                 print(f'| {task} | {seed} | {val:.1f} @{step:,} '
-                      f'| (no reference) | — |')
+                      f'| (no reference) | — | — |')
 
 
 if __name__ == '__main__':
