@@ -193,3 +193,17 @@ def test_fleet_train_loop_end_to_end(tmp_path, monkeypatch):
         str(tmp_path / 'logs' / 'toy-reach' / str(SEEDS[0]) / 'default'
             / 'models' / 'latest.pkl'))
     assert int(extra['step']) >= cfg.steps
+
+    # resume: a fresh fleet picks up every seed's checkpoint and step counter
+    cfg2 = cfg.replace(resume=True)
+    agent2 = FleetAgent(cfg2, SEEDS)
+    env2 = make_fleet_env(cfg2, SEEDS)
+    loggers2 = [Logger(cfg2.replace(seed=s, work_dir=str(agent2.work_dir(k))))
+                for k, s in enumerate(SEEDS)]
+    tr2 = FleetOnlineTrainer(cfg=cfg2, env=env2, agent=agent2,
+                             buffer=FleetBuffer(cfg2, len(SEEDS)),
+                             loggers=loggers2)
+    tr2.maybe_resume()
+    assert tr2._step >= cfg.steps
+    tree_allclose(agent2.seed_state(0).params, single.state.params,
+                  rtol=0, atol=0)
