@@ -33,7 +33,7 @@ COMMON="num_envs=8 eval_freq=50000 eval_episodes=10 buffer_device=device resume=
 # 1. fleet on-chip validation: short walker fleet (seeds 2,3)
 if run fleet_smoke 2700 python train.py task=walker-walk seeds=2,3 \
     steps=30000 eval_freq=10000 eval_episodes=5 num_envs=8 \
-    vec_mode=subproc exp_name=r3 resume=true; then
+    exp_name=r3 resume=true; then
   FLEET_OK=1
   log "fleet smoke OK; using fleet runs for seed fills"
 else
@@ -45,7 +45,7 @@ fi
 #    well before 600k) — fleet resumes the smoke's checkpoints
 if [ "$FLEET_OK" = 1 ]; then
   run walker_fleet 21600 python train.py task=walker-walk seeds=2,3 \
-    steps=600000 num_envs=8 vec_mode=subproc eval_freq=50000 \
+    steps=600000 num_envs=8 eval_freq=50000 \
     eval_episodes=10 exp_name=r3 resume=true
   python scripts/export_results.py walker-walk 2 r3 && log "exported walker s2"
   python scripts/export_results.py walker-walk 3 r3 && log "exported walker s3"
@@ -67,7 +67,7 @@ python scripts/export_results.py cup-catch 1 r3 && log "exported cup-catch"
 #    seed 1; two more seeds pin it down)
 if [ "$FLEET_OK" = 1 ]; then
   run cheetah_fleet 21600 python train.py task=cheetah-run seeds=2,3 \
-    steps=600000 num_envs=8 vec_mode=subproc eval_freq=50000 \
+    steps=600000 num_envs=8 eval_freq=50000 \
     eval_episodes=10 exp_name=r3 resume=true
   python scripts/export_results.py cheetah-run 2 r3
   python scripts/export_results.py cheetah-run 3 r3
