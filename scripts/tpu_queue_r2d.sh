@@ -45,8 +45,9 @@ grep -h "fused value kernel\|probe failed" /tmp/q_smoke2.log | tail -2
 run benchwarm 1200 python bench.py
 tail -2 /tmp/q_benchwarm.log
 
-run lunar 5400 python train.py task=lunarlander-continuous steps=150000 \
-  num_envs=4 eval_freq=25000 eval_episodes=10 exp_name=r2 seed=1 resume=true
+run lunar 5400 python train.py task=lunarlander-continuous episodic=true \
+  steps=150000 num_envs=4 eval_freq=25000 eval_episodes=10 exp_name=r2 \
+  seed=1 resume=true
 python scripts/export_results.py lunarlander-continuous 1 r2 && log "exported lunar"
 
 run mt30 7200 python train.py task=mt30 model_size=19 \
