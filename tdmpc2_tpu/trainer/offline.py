@@ -127,8 +127,21 @@ class OfflineTrainer(Trainer):
                 metrics.update({k: float(v) for k, v in train_metrics.items()})
                 if i % self.cfg.eval_freq == 0:
                     metrics.update(self.eval())
-                    self.logger.pprint_multitask(metrics, self.cfg)
+                    score = self.logger.pprint_multitask(metrics, self.cfg)
                     if i > 0:
                         self.logger.save_agent(self.agent, identifier=f'{i}')
+                    # durable aggregate row -> eval.csv (the per-task keys
+                    # stay in the 'pretrain' record, mirroring the reference;
+                    # the CSV gives offline runs the same exportable artifact
+                    # as online runs)
+                    rts = [v for k, v in metrics.items()
+                           if k.startswith('episode_reward+')]
+                    scs = [v for k, v in metrics.items()
+                           if k.startswith('episode_success+')]
+                    self.logger.log(dict(
+                        step=i,
+                        episode_reward=float(np.nanmean(rts)),
+                        episode_success=float(np.nanmean(scs)),
+                        normalized_score=score), 'eval')
                 self.logger.log(metrics, 'pretrain')
         self.finish()

@@ -63,6 +63,10 @@ def test_offline_trainer_end_to_end(tmp_path):
     assert ckpts
     agent2 = TDMPC2(cfg)
     agent2.load(str(ckpts[0]))
+    # aggregate eval row written to eval.csv (exportable artifact)
+    csv_lines = (tmp_path / 'work' / 'eval.csv').read_text().splitlines()
+    assert csv_lines[0] == 'step,episode_reward,episode_success'
+    assert len(csv_lines) >= 2
 
 
 def test_offline_trainer_end_to_end_sharded(tmp_path):
