@@ -43,7 +43,7 @@ def write_synthetic_chunks(data_dir, n_chunks=2, eps_per_chunk=3, rows=51,
 
 
 def test_offline_trainer_end_to_end(tmp_path):
-    cfg = multitask_cfg(tmp_path, steps=5, eval_freq=5,
+    cfg = multitask_cfg(tmp_path, steps=5, eval_freq=5, save_csv=True,
                         data_dir=str(tmp_path / 'data'))
     env = make_env(cfg)
     assert cfg.obs_shape['state'][0] == 6  # padded multitask obs dim
