@@ -35,6 +35,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def draw_slice_indices(key, ep_rows, n_filled, nb: int, horizon: int,
+                       capacity_eps: int):
+    """Device-side slice draw shared by Buffer and FleetBuffer.
+
+    torchrl's SliceSampler is uniform over SLICES, not episodes: an episode
+    with more valid starts is proportionally more likely (reference
+    common/buffer.py:17-24). Episode choice is therefore weighted by its
+    valid-start count (rows - horizon); within the episode the start is
+    uniform. For fixed-length episodes this reduces to uniform episodes.
+    Returns (episode_idx [nb], start_row [nb]) int32.
+    """
+    T = horizon
+    k_ep, k_start = jax.random.split(key)
+    valid = jnp.arange(capacity_eps) < n_filled
+    w = jnp.where(valid, jnp.maximum(ep_rows - T, 0), 0)
+    cum = jnp.cumsum(w.astype(jnp.float32))
+    u = jax.random.uniform(k_ep, (nb,)) * cum[-1]
+    ep_idx = jnp.clip(jnp.searchsorted(cum, u, side='right'),
+                      0, capacity_eps - 1).astype(jnp.int32)
+    max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start
+    v = jax.random.uniform(k_start, (nb,))
+    start = jnp.floor(v * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
+    return ep_idx, start
+
+
 def _device_free_bytes() -> int:
     try:
         stats = jax.devices()[0].memory_stats()
@@ -384,27 +409,11 @@ class Buffer:
         if getattr(self, '_prefetch_q', None) is not None:
             self._prefetch_stop.set()
 
-    # -- slice-index draw (shared by device and host paths) -------------------
-    #
-    # torchrl's SliceSampler is uniform over SLICES, not episodes: an episode
-    # with more valid starts is proportionally more likely (reference
-    # common/buffer.py:17-24). Episode choice is therefore weighted by its
-    # valid-start count (rows - horizon); within the episode the start is
-    # uniform. For fixed-length episodes this reduces to uniform episodes.
+    # -- slice-index draw (semantics documented on draw_slice_indices) --------
 
     def _draw_slices_device(self, key, ep_rows, n_filled, nb):
-        T = self._horizon
-        k_ep, k_start = jax.random.split(key)
-        valid = jnp.arange(self._capacity_eps) < n_filled
-        w = jnp.where(valid, jnp.maximum(ep_rows - T, 0), 0)
-        cum = jnp.cumsum(w.astype(jnp.float32))
-        u = jax.random.uniform(k_ep, (nb,)) * cum[-1]
-        ep_idx = jnp.clip(jnp.searchsorted(cum, u, side='right'),
-                          0, self._capacity_eps - 1).astype(jnp.int32)
-        max_start = ep_rows[ep_idx] - (T + 1)  # inclusive max valid start
-        v = jax.random.uniform(k_start, (nb,))
-        start = jnp.floor(v * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
-        return ep_idx, start
+        return draw_slice_indices(key, ep_rows, n_filled, nb,
+                                  self._horizon, self._capacity_eps)
 
     def _draw_slices_host(self, n_filled, nb):
         T = self._horizon

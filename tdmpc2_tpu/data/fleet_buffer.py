@@ -17,11 +17,11 @@ the conv activations anyway — use single-seed runs for rgb).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from tdmpc2_tpu.data.buffer import draw_slice_indices
 
 
 class FleetBuffer:
@@ -46,6 +46,11 @@ class FleetBuffer:
         self._storage = None
         self._key = jax.random.PRNGKey(cfg.seed + 0xF1EE7)
         self._draws = 0
+        # add() writes blocks of exactly 1 or `num_envs` episodes so the
+        # donated add jit compiles at most two shapes (episodic tasks finish
+        # variable counts per step; unbounded block sizes would trigger a
+        # multi-second XLA compile per new size, mid-run)
+        self._block = max(1, int(cfg.get('num_envs') or 1))
 
     @property
     def num_eps(self) -> int:
@@ -106,6 +111,8 @@ class FleetBuffer:
         while i < m:
             slot = int(self._num_eps[seed_idx]) % self._capacity_eps
             n = min(m - i, self._capacity_eps - slot)
+            # fixed block sizes {num_envs, 1} -> bounded jit shapes
+            n = self._block if n >= self._block else 1
             names = sorted(self._storage)
             outs = self._add_jit(
                 *[self._storage[k] for k in names],
@@ -155,20 +162,10 @@ class FleetBuffer:
         seed_keys = jax.random.split(key, self.K)
 
         def draw_one(k, rows_k, filled_k):
-            # identical draw to Buffer._draw_slices_device: slice-uniform
-            # episode weighting (torchrl SliceSampler semantics)
-            k_ep, k_start = jax.random.split(k)
-            valid = jnp.arange(self._capacity_eps) < filled_k
-            w = jnp.where(valid, jnp.maximum(rows_k - T, 0), 0)
-            cum = jnp.cumsum(w.astype(jnp.float32))
-            u = jax.random.uniform(k_ep, (NB,)) * cum[-1]
-            ep_idx = jnp.clip(jnp.searchsorted(cum, u, side='right'),
-                              0, self._capacity_eps - 1).astype(jnp.int32)
-            max_start = rows_k[ep_idx] - (T + 1)
-            v = jax.random.uniform(k_start, (NB,))
-            start = jnp.floor(
-                v * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
-            return ep_idx, start
+            # the exact single-seed draw (slice-uniform episode weighting,
+            # torchrl SliceSampler semantics), vmapped over seeds
+            return draw_slice_indices(k, rows_k, filled_k, NB, T,
+                                      self._capacity_eps)
 
         ep_idx, start = jax.vmap(draw_one)(seed_keys, ep_rows, n_filled)
 

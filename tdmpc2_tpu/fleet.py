@@ -62,8 +62,14 @@ class FleetAgent:
                 partial(self.agent._plan_vec, eval_mode=em),
                 in_axes=(0, 0, 0, 0, 0, None, None)))
             for em in (False, True)}
-        self._update_scan_jit = jax.jit(
-            jax.vmap(self.agent._update_scan), donate_argnums=0)
+
+        def update_scan_meaned(state, *batch):
+            # seed-mean the metrics INSIDE the jit: one fused program, no
+            # per-metric dispatches on the latency-bound tunnel
+            state, infos = jax.vmap(self.agent._update_scan)(state, *batch)
+            return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), infos)
+
+        self._update_scan_jit = jax.jit(update_scan_meaned, donate_argnums=0)
 
     # ------------------------------------------------------------------ act
 
@@ -89,11 +95,12 @@ class FleetAgent:
 
         `buffer` is a FleetBuffer; its one sample dispatch yields every
         seed's n batches. Returns the last update's metrics averaged over
-        seeds (per-seed curves live in the eval logs, not the train ticker).
+        seeds (per-seed curves live in the eval logs, not the train ticker);
+        the mean is computed inside the jitted program.
         """
         batch = buffer.sample_many(n)
         self.state, infos = self._update_scan_jit(self.state, *batch[:-1])
-        return {k: jnp.mean(v, axis=0) for k, v in infos.items()}
+        return infos
 
     # -------------------------------------------------------- checkpointing
 

@@ -39,6 +39,7 @@ class FleetOnlineTrainer:
         self._step = 0                            # per-seed env steps
         self._ep_idx = np.zeros(self.K, np.int64)
         self._start_time = time()
+        self._sps_anchor = 0
 
     # ----------------------------------------------------------- utilities
 
@@ -46,7 +47,9 @@ class FleetOnlineTrainer:
         elapsed = time() - self._start_time
         return dict(step=self._step, episode=int(self._ep_idx[k]),
                     elapsed_time=elapsed,
-                    steps_per_second=self._step / max(elapsed, 1e-9))
+                    # resumed runs: this session's rate (see trainer/online.py)
+                    steps_per_second=(self._step - self._sps_anchor)
+                    / max(elapsed, 1e-9))
 
     def _obs_kn(self, obs_flat):
         return np.asarray(obs_flat).reshape(
@@ -120,6 +123,7 @@ class FleetOnlineTrainer:
         extras = self.agent.load_seeds(fps)
         steps = [int(e.get('step', 0)) for e in extras]
         self._step = min(steps)
+        self._sps_anchor = self._step
         self._ep_idx = np.asarray(
             [int(e.get('ep_idx', 0)) for e in extras], np.int64)
         self._resumed = True
@@ -137,8 +141,15 @@ class FleetOnlineTrainer:
 
     def eval(self):
         """Greedy evaluation, all seeds at once: each seed's N env copies run
-        episodes until every seed has cfg.eval_episodes of them."""
+        episodes until every seed has cfg.eval_episodes of them. Video (if
+        enabled) records seed 0's first env copy — the flat vec env renders
+        its slot 0."""
         K, N = self.K, self.N
+        video = self.loggers[0].video
+        if video is not None and not getattr(self, '_video_noticed', False):
+            self._video_noticed = True
+            print('Fleet eval records video for seed '
+                  f'{self.agent.seeds[0]} only (env slot 0).')
         rewards = [[] for _ in range(K)]
         successes = [[] for _ in range(K)]
         lengths = [[] for _ in range(K)]
@@ -146,8 +157,11 @@ class FleetOnlineTrainer:
         def need():
             return any(len(r) < self.cfg.eval_episodes for r in rewards)
 
+        first_round = True
         while need():
             obs = self.env.reset()
+            if video is not None:
+                video.init(self.env, enabled=first_round)
             ep_reward = np.zeros(K * N)
             t = np.zeros(K * N, np.int64)
             active = np.ones(K * N, bool)
@@ -159,6 +173,8 @@ class FleetOnlineTrainer:
                     acts.reshape(K * N, -1))
                 ep_reward += rews * active
                 t += 1
+                if video is not None:
+                    video.record(self.env)
                 for j in np.flatnonzero(np.asarray(dones) & active):
                     active[j] = False
                     k = j // N
@@ -169,6 +185,9 @@ class FleetOnlineTrainer:
                 for j in np.flatnonzero(dones):
                     obs[j] = self.env.reset_at(j)
                     t[j] = 0
+            if video is not None and first_round:
+                video.save(self._step)
+            first_round = False
         return [dict(episode_reward=float(np.nanmean(rewards[k])),
                      episode_success=float(np.nanmean(successes[k])),
                      episode_length=float(np.nanmean(lengths[k])))

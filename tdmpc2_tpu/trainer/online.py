@@ -22,12 +22,16 @@ class OnlineTrainer(Trainer):
         self._step = 0
         self._ep_idx = 0
         self._start_time = time()
+        self._sps_anchor = 0   # steps already done when this PROCESS started
 
     def common_metrics(self):
         elapsed = time() - self._start_time
         return dict(step=self._step, episode=self._ep_idx,
                     elapsed_time=elapsed,
-                    steps_per_second=self._step / max(elapsed, 1e-9))
+                    # resumed runs: rate of THIS session's steps, not the
+                    # checkpointed total over this session's wall clock
+                    steps_per_second=(self._step - self._sps_anchor)
+                    / max(elapsed, 1e-9))
 
     def eval(self):
         """Evaluate (reference online_trainer.py:28-52)."""
@@ -90,6 +94,7 @@ class OnlineTrainer(Trainer):
         extra = self.agent.load(str(fp))
         self._step = int(extra.get('step', 0))
         self._ep_idx = int(extra.get('ep_idx', 0))
+        self._sps_anchor = self._step
         self._resumed = True
         print(f'Resumed from {fp} at step {self._step:,}.')
 

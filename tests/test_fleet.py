@@ -91,14 +91,17 @@ def test_fleet_update_matches_single_agents():
         np.zeros((2, n, T, B, 1), np.float32),
     )
     fleet.state, infos = fleet._update_scan_jit(fleet.state, *batch)
+    single_losses = []
     for k, single in enumerate(sgl):
         st, info = single._update_scan_jit(
             single.state, *[x[k] for x in batch])
         tree_allclose(fleet.seed_state(k).params, st.params)
-        np.testing.assert_allclose(float(infos['total_loss'][k]),
-                                   float(info['total_loss']), rtol=2e-5)
+        single_losses.append(float(info['total_loss']))
         np.testing.assert_allclose(np.asarray(fleet.seed_state(k).scale),
                                    np.asarray(st.scale), rtol=2e-5)
+    # metrics are seed-meaned inside the jitted program
+    np.testing.assert_allclose(float(infos['total_loss']),
+                               float(np.mean(single_losses)), rtol=2e-5)
 
 
 def test_fleet_buffer_per_seed_isolation():
