@@ -178,7 +178,9 @@ def _cem_kernel(
 
         q_acc = jnp.zeros((S, 1), f32)
         for j in range(2):
-            i = qidx_ref[env, it, j]
+            # qidx rides as a rank-2 [N, I*2] SMEM array (rank-2 scalar
+            # operands are the safest Mosaic SMEM layout)
+            i = qidx_ref[env, 2 * it + j]
             u = dot(z, qWz[i]) + dot(a_term, qWa[i]) + qb0[pl.ds(i, 1), :]
             u = _mish(_ln(u, qg0[pl.ds(i, 1), :], qe0[pl.ds(i, 1), :]))
             u = dot(u, qW1[i]) + qb1[pl.ds(i, 1), :]
@@ -327,7 +329,8 @@ def _cem_flat(prep, z0, pi_eps, noise_flat, eps, qidx, discs, mean0, std0,
         return pl.BlockSpec(x.shape, lambda i, _nd=nd: (0,) * _nd,
                             memory_space=pltpu.SMEM)
 
-    qidx = qidx.astype(jnp.int32)
+    # [N, I, 2] -> [N, I*2]: rank-2 SMEM scalar operands lower most reliably
+    qidx = qidx.astype(jnp.int32).reshape(N, I * 2)
     discs = discs.astype(jnp.float32)
     in_specs = ([env_spec(z0), env_spec(pi_eps), env_spec(noise_flat),
                  env_spec(eps), env_spec(mean0), env_spec(std0),
