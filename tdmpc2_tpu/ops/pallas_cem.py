@@ -229,8 +229,9 @@ def _cem_kernel(
 
         if it == iterations - 1:
             v_ref[0] = v + jnp.zeros((S, 128), f32)   # lane-broadcast
-            for t in range(H):
-                acts_ref[0, :, t * A:(t + 1) * A] = acts[t]
+            # one aligned full-row store (per-t lane slices of width A would
+            # be unaligned stores, the least-supported Mosaic store form)
+            acts_ref[0] = jnp.concatenate(acts, axis=-1)
 
     mean_ref[0] = mean
     std_ref[0] = std
