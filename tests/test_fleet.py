@@ -4,10 +4,8 @@ and the end-to-end fleet loop must produce per-seed artifacts identical in
 layout to single-seed runs."""
 
 import numpy as np
-import pytest
 
 import jax
-import jax.numpy as jnp
 
 from tdmpc2_tpu.config import Config, parse_cfg
 from tdmpc2_tpu.data.fleet_buffer import FleetBuffer
