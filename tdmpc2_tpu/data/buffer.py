@@ -60,16 +60,22 @@ def draw_slice_indices(key, ep_rows, n_filled, nb: int, horizon: int,
     return ep_idx, start
 
 
-def _device_free_bytes() -> int:
+def _device_free_bytes():
+    """Free device memory in bytes, or None when the backend does not
+    report memory_stats (e.g. the tunneled single-chip backend)."""
     try:
         stats = jax.devices()[0].memory_stats()
         return stats['bytes_limit'] - stats['bytes_in_use']
     except Exception:
-        return 8 << 30  # conservative default when stats are unavailable
+        return None
 
 
 class Buffer:
     """Replay buffer for TD-MPC2 training."""
+
+    # HBM reserved for the training working set (activations, planner,
+    # optimizer) when placement is decided by trial allocation
+    _TRIAL_HEADROOM = 2 << 30
 
     def __init__(self, cfg):
         self.cfg = cfg
@@ -112,27 +118,59 @@ class Buffer:
         total_bytes = bytes_per_row * self._rows * self._capacity_eps
         free = _device_free_bytes()
         mode = str(self.cfg.get('buffer_device') or 'auto')
+        trial = False
         if mode == 'auto':
-            # mirror the reference's 2.5x-bytes heuristic (buffer.py:62).
-            # NOTE: on the tunneled backend memory_stats() is unavailable and
-            # `free` falls back to a conservative 8 GB; pixel runs that need
-            # the full 16 GB HBM should pass buffer_device=device explicitly
-            # (host storage pays ~0.6 s of H2D per 8-update chunk through the
-            # tunnel — an order of magnitude slower than device-resident).
-            self._on_device = 2.5 * total_bytes < free
+            if free is not None:
+                # mirror the reference's 2.5x-bytes heuristic (buffer.py:62)
+                self._on_device = 2.5 * total_bytes < free
+            else:
+                # memory_stats() unavailable (tunneled backend): decide by
+                # TRIAL ALLOCATION — allocate the ring in HBM plus a headroom
+                # block for the training working set, fall back to host RAM
+                # on OOM. Host storage pays ~0.6 s of H2D per 8-update chunk
+                # through the tunnel, an order of magnitude slower than
+                # device-resident, so defaulting pixel-scale buffers to host
+                # on a conservative guess was the wrong call.
+                trial = True
+                self._on_device = True
         else:
             assert mode in ('device', 'host'), mode
             self._on_device = mode == 'device'
-        where = 'DEVICE (HBM)' if self._on_device else 'HOST (RAM)'
         print(f'Buffer capacity: {self._capacity:,} '
               f'({self._capacity_eps:,} episodes x {self._rows} rows)')
+
+        def _alloc(xp):
+            return {
+                k: xp.zeros((self._capacity_eps, self._rows)
+                            + tuple(shapes[k]), dtypes[k]) for k in ep}
+
+        storage = None
+        if self._on_device:
+            try:
+                storage = _alloc(jnp)
+                if trial:
+                    headroom = jnp.zeros((self._TRIAL_HEADROOM,), jnp.uint8)
+                    jax.block_until_ready(headroom)
+                    del headroom
+                for a in storage.values():
+                    jax.block_until_ready(a)
+            except Exception as e:
+                if mode == 'device':
+                    raise
+                print(f'Device buffer allocation failed '
+                      f'({type(e).__name__}) — falling back to HOST (RAM)')
+                self._on_device = False
+                storage = None
+        if storage is None:
+            storage = _alloc(np)
+        where = ('DEVICE (HBM, trial-allocated)' if self._on_device and trial
+                 else 'DEVICE (HBM)' if self._on_device else 'HOST (RAM)')
+        free_s = 'n/a' if free is None else f'{free / 1e9:.2f} GB'
         print(f'Storage required: {total_bytes / 1e9:.2f} GB '
-              f'(free device memory: {free / 1e9:.2f} GB) -> {where}')
+              f'(free device memory: {free_s}) -> {where}')
 
         xp = jnp if self._on_device else np
-        self._storage = {
-            k: xp.zeros((self._capacity_eps, self._rows) + tuple(shapes[k]),
-                        dtypes[k]) for k in ep}
+        self._storage = storage
         self._ep_rows = (jnp if self._on_device else np).zeros(
             (self._capacity_eps,), np.int32)
         self._has_task = 'task' in ep

@@ -324,3 +324,31 @@ def test_bulk_load_pixels_unstacked():
     buf.load(stacked)
     assert buf._storage['obs'].shape[2:] == (3 * 4 * 4,)
     _check_restacked(buf)
+
+
+def test_trial_allocation_places_on_device(monkeypatch):
+    """When memory_stats is unavailable (tunneled backend), auto placement
+    trial-allocates in device memory instead of guessing conservatively."""
+    import tdmpc2_tpu.data.buffer as buffer_mod
+    monkeypatch.setattr(buffer_mod, '_device_free_bytes', lambda: None)
+    monkeypatch.setattr(Buffer, '_TRIAL_HEADROOM', 1 << 20)
+    buf = Buffer(make_cfg())
+    buf.add(make_episode(20, ep_id=0))
+    assert buf._on_device
+    obs, *_ = buf.sample()
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_trial_allocation_oom_falls_back_to_host(monkeypatch):
+    """A failed device trial allocation degrades to host storage (and a
+    buffer_device=device override would instead raise). The failure is a
+    REAL allocation error: a petabyte headroom block cannot be satisfied."""
+    import tdmpc2_tpu.data.buffer as buffer_mod
+    monkeypatch.setattr(buffer_mod, '_device_free_bytes', lambda: None)
+    monkeypatch.setattr(Buffer, '_TRIAL_HEADROOM', 1 << 50)
+    buf = Buffer(make_cfg())
+    buf.add(make_episode(20, ep_id=0))
+    assert buf._on_device is False
+    obs, action, *_ = buf.sample()
+    assert np.isfinite(np.asarray(action)).all()
+    buf.close()
