@@ -110,15 +110,36 @@ class FleetBuffer:
         i = 0
         while i < m:
             slot = int(self._num_eps[seed_idx]) % self._capacity_eps
-            n = min(m - i, self._capacity_eps - slot)
-            # fixed block sizes {num_envs, 1} -> bounded jit shapes
-            n = self._block if n >= self._block else 1
+            room = self._capacity_eps - slot
+            avail = min(m - i, room)
+            # fixed block sizes {num_envs, 1} -> bounded jit shapes. A
+            # partial flush (an episodic fleet finishing fewer than num_envs
+            # episodes) is PADDED to the full block with valid_rows=0
+            # episodes — one dispatch instead of up to num_envs on the
+            # latency-bound tunnel. Pad slots carry zero sampling weight
+            # (draw_slice_indices weights by rows - horizon) and are
+            # overwritten by the next add (num_eps advances by the real
+            # count only). At the ring-wrap boundary (< block slots of room,
+            # once per cycle) episodes are written one at a time.
+            if avail >= self._block:
+                n, pad = self._block, 0
+            elif room >= self._block:
+                n, pad = avail, self._block - avail
+            else:
+                n, pad = 1, 0
             names = sorted(self._storage)
+
+            def blk(v):
+                b = np.ascontiguousarray(v[i:i + n])
+                if pad:
+                    b = np.pad(b, [(0, pad)] + [(0, 0)] * (b.ndim - 1))
+                return b
+
             outs = self._add_jit(
                 *[self._storage[k] for k in names],
                 self._ep_rows,
-                *[np.ascontiguousarray(episodes[k][i:i + n]) for k in names],
-                valid[i:i + n], np.int32(seed_idx), np.int32(slot))
+                *[blk(episodes[k]) for k in names],
+                blk(valid), np.int32(seed_idx), np.int32(slot))
             self._storage = dict(zip(names, outs[:-1]))
             self._ep_rows = outs[-1]
             self._num_eps[seed_idx] += n

@@ -200,7 +200,9 @@ def _cem_kernel(
 
         def bisect(_, lh):
             lo, hi = lh
-            mid = 0.5 * (lo + hi)
+            # lo + 0.5*(hi-lo), NOT 0.5*(lo+hi): values clamped at the
+            # _F32_HUGE guard would overflow lo+hi to inf and stall hi
+            mid = lo + 0.5 * (hi - lo)
             cnt = jnp.sum((v >= mid).astype(f32))
             return jnp.where(cnt >= E, mid, lo), jnp.where(cnt >= E, hi, mid)
 

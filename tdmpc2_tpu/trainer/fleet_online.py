@@ -13,6 +13,16 @@ online_trainer.py:74-127): random actions for the first seed_steps, a
 seed_steps pretrain burst at the first update, one gradient update per env
 step, episodes buffered with the NaN bootstrap row, per-env-slot episode
 boundaries (episodic tasks supported, like trainer/vec_online.py).
+
+Known deviation (episodic tasks only): updates are fused across seeds and
+gated on EVERY seed having replay data (buffer.num_eps is the min across
+seeds), so all seeds' gradient updates stall until the slowest seed finishes
+its first episode, and those skipped updates are not made up — the
+update:env-step ratio dips below the reference's 1:1 by up to one episode's
+worth of steps at the start of training. Fixed-length dm_control tasks
+finish episodes in lockstep and are unaffected. A per-seed catch-up would
+need ragged per-seed update counts inside the fused dispatch; not worth the
+complexity for a one-episode startup transient.
 """
 
 from __future__ import annotations

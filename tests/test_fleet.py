@@ -208,3 +208,34 @@ def test_fleet_train_loop_end_to_end(tmp_path, monkeypatch):
     assert tr2._step >= cfg.steps
     tree_allclose(agent2.seed_state(0).params, single.state.params,
                   rtol=0, atol=0)
+
+
+def test_fleet_buffer_partial_flush_padded_block():
+    """A partial flush (fewer finished episodes than num_envs) is padded to
+    one full-block write: num_eps advances by the real count, pad slots are
+    never sampled (zero valid rows) and are overwritten by the next add."""
+    cfg = make_cfg(num_envs=4)
+    buf = FleetBuffer(cfg, 1)
+    rows = EP_LEN + 1
+
+    def eps(n, value):
+        return dict(
+            obs=np.full((n, rows, OBS_DIM), value, np.float32),
+            action=np.zeros((n, rows, ACT_DIM), np.float32),
+            reward=np.full((n, rows), value, np.float32),
+            terminated=np.zeros((n, rows), np.float32))
+
+    # 1 episode into a block of 4 -> padded write, count 1
+    assert buf.add(0, eps(1, 7.0)) == 1
+    assert int(np.asarray(buf._ep_rows)[0, 0]) == rows
+    np.testing.assert_array_equal(np.asarray(buf._ep_rows)[0, 1:4], 0)
+    # samples must come exclusively from the real episode
+    _, _, reward, _, _ = buf.sample_many(1)
+    np.testing.assert_array_equal(np.asarray(reward), 7.0)
+    # next add overwrites the pad slots
+    assert buf.add(0, eps(3, 9.0)) == 4
+    erows = np.asarray(buf._ep_rows)[0]
+    np.testing.assert_array_equal(erows[:4], rows)
+    _, _, reward, _, _ = buf.sample_many(1)
+    seen = set(np.unique(np.asarray(reward)).tolist())
+    assert seen <= {7.0, 9.0} and 9.0 in seen
