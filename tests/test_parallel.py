@@ -1,6 +1,8 @@
 """Mesh parallelism: sharding rules + a full sharded training step on the
 virtual 8-device CPU mesh (SURVEY.md §4 'Distributed' test strategy)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +138,41 @@ def test_317M_param_tree_sharding_shapes():
         n = int(np.prod(l.shape)) * 4
         per_dev += n // 4 if s.spec != jax.sharding.PartitionSpec() else n
     assert per_dev < 0.3 * total
+
+
+def test_two_process_distributed_psum():
+    """Two OS processes join via parallel.init_distributed (the
+    scripts/launch_multihost.py path) and a psum over a cross-process mesh
+    sees both contributions — the multi-host backend's one executable
+    smoke (SURVEY.md §5.8; the reference has no distributed backend)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+    worker = Path(__file__).parent / '_dist_worker.py'
+    env = dict(os.environ)
+    root = str(Path(__file__).resolve().parents[1])
+    env['PYTHONPATH'] = root + os.pathsep + env.get('PYTHONPATH', '')
+    # the conftest's virtual 8-device flag would apply to BOTH workers;
+    # keep the subprocesses at their natural single CPU device each
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), '2', str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert 'OK' in out, out
