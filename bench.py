@@ -203,7 +203,9 @@ def main():
           f'update: {updates_per_s:.1f} steps/s device-bound '
           f'({per_call_updates_per_s:.1f} per-call) | '
           f'dispatch: {dispatch_us:.0f} us | '
-          f'device: {jax.devices()[0].platform}', file=sys.stderr)
+          f'device: {jax.devices()[0].platform} '
+          f'({getattr(jax.devices()[0], "device_kind", "?")})',
+          file=sys.stderr)
 
     baseline_plans_per_s = 40.0  # documented estimate, see module docstring
     print(json.dumps({
