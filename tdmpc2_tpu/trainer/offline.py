@@ -99,6 +99,27 @@ class OfflineTrainer(Trainer):
             self.buffer.load(chunk)
         print(f'Loaded {self.buffer.num_eps} episodes.')
 
+    def _maybe_resume(self) -> int:
+        """Resume from the latest iteration checkpoint in work_dir/models
+        (the reference never resumes — its checkpoints are weights-only,
+        SURVEY.md §5.4; ours carry the full train state)."""
+        if not self.cfg.resume:
+            return 0
+        from pathlib import Path
+        models = Path(self.cfg.work_dir) / 'models'
+        ckpts = {}
+        for fp in models.glob('*.pkl'):
+            if fp.stem.isdigit():
+                ckpts[int(fp.stem)] = fp
+        if not ckpts:
+            print('resume=true but no iteration checkpoint found; '
+                  'starting fresh.')
+            return 0
+        i = max(ckpts)
+        self.agent.load(ckpts[i])
+        print(f'Resumed offline training at iteration {i:,}.')
+        return i
+
     def train(self):
         """Offline training loop (reference offline_trainer.py:67-94)."""
         assert self.cfg.multitask, 'Offline training requires a multitask cfg.'
@@ -109,7 +130,7 @@ class OfflineTrainer(Trainer):
         # gradient iterations run in fused chunks (one device call per
         # `chunk` updates); logging/eval boundaries stay step-accurate
         chunk = 8
-        i = 0
+        i = self._maybe_resume()
         while i < self.cfg.steps:
             boundary = min(
                 x for x in (

@@ -97,6 +97,16 @@ class Logger:
         self._model_dir = self._work_dir / 'models'
         self._work_dir.mkdir(parents=True, exist_ok=True)
         self._eval_rows = []
+        if cfg.get('resume') and (self._work_dir / 'eval.csv').exists():
+            # resumed runs keep their eval history (the flush below rewrites
+            # the whole file); rows at a re-evaluated step are replaced
+            import csv
+            with open(self._work_dir / 'eval.csv') as f:
+                self._eval_rows = [
+                    dict(step=int(r['step']),
+                         episode_reward=float(r['episode_reward']),
+                         episode_success=float(r.get('episode_success', 0.0)))
+                    for r in csv.DictReader(f)]
         self.video = VideoRecorder(self._work_dir) if cfg.save_video else None
         self._wandb = None
         if cfg.enable_wandb and cfg.wandb_project:
@@ -139,10 +149,13 @@ class Logger:
                  if isinstance(v, (int, float))},
                 step=int(metrics.get('step', metrics.get('iteration', 0))))
         if category == 'eval' and self.cfg.save_csv and 'episode_reward' in metrics:
+            step = int(metrics.get('step', metrics.get('iteration', 0)))
+            self._eval_rows = [r for r in self._eval_rows if r['step'] != step]
             self._eval_rows.append(
-                dict(step=int(metrics.get('step', 0)),
+                dict(step=step,
                      episode_reward=float(metrics['episode_reward']),
                      episode_success=float(metrics.get('episode_success', 0.0))))
+            self._eval_rows.sort(key=lambda r: r['step'])
             self._flush_csv()
 
     def _flush_csv(self):

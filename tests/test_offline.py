@@ -108,3 +108,28 @@ def test_pt_chunk_loader(tmp_path):
     chunk = _load_chunk(str(fp))
     assert chunk['obs'].shape == (2, 5, 4)
     assert isinstance(chunk['reward'], np.ndarray)
+
+
+def test_offline_trainer_resume(tmp_path):
+    """resume=true continues from the latest iteration checkpoint: the
+    second trainer starts at iteration 5 (not 0) and extends training to 10
+    with a second checkpoint."""
+    cfg = multitask_cfg(tmp_path, steps=5, eval_freq=5, save_csv=True,
+                        data_dir=str(tmp_path / 'data'))
+    env = make_env(cfg)
+    write_synthetic_chunks(tmp_path / 'data', obs_dim=6,
+                           act_dim=cfg.action_dim, rows=cfg.episode_length + 1)
+    trainer = OfflineTrainer(cfg=cfg, env=env, agent=TDMPC2(cfg),
+                             buffer=Buffer(cfg), logger=Logger(cfg))
+    trainer.train()
+    assert (tmp_path / 'work' / 'models' / '5.pkl').exists()
+
+    cfg2 = cfg.replace(steps=10, resume=True)
+    trainer2 = OfflineTrainer(cfg=cfg2, env=env, agent=TDMPC2(cfg2),
+                              buffer=Buffer(cfg2), logger=Logger(cfg2))
+    assert trainer2._maybe_resume() == 5
+    trainer2.train()   # loads again internally; trains 5 -> 10
+    assert (tmp_path / 'work' / 'models' / '10.pkl').exists()
+    csv_lines = (tmp_path / 'work' / 'eval.csv').read_text().splitlines()
+    steps = [int(l.split(',')[0]) for l in csv_lines[1:]]
+    assert 5 in steps and 10 in steps
