@@ -155,6 +155,14 @@ class Config:
     # parallel physics/rendering), 'inproc' (serial host loop), or 'auto'
     # (subproc for render-heavy rgb observations, inproc otherwise)
     vec_mode: str = 'auto'
+    # fused actor-learner step for vectorized collection: plan + replay
+    # sample + the step's gradient updates in ONE device dispatch (cuts the
+    # per-vec-step host->device round trips from ~4 to 1 on the
+    # dispatch-latency-bound single-chip path). Numerics are identical to
+    # the unfused act/sample/update sequence (tested); disable to restore
+    # separate dispatches (e.g. to overlap host physics with device update
+    # time on a low-latency local chip).
+    fused_step: bool = True
     # replay storage placement: 'auto' (2.5x-bytes-fit heuristic, reference
     # buffer.py:62), 'device' (force HBM), 'host' (force RAM + prefetch)
     buffer_device: str = 'auto'

@@ -70,6 +70,8 @@ class FleetAgent:
             return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), infos)
 
         self._update_scan_jit = jax.jit(update_scan_meaned, donate_argnums=0)
+        self._step_jit = None      # fused act+sample+update (step())
+        self._step_buffer = None
 
     # ------------------------------------------------------------------ act
 
@@ -101,6 +103,50 @@ class FleetAgent:
         batch = buffer.sample_many(n)
         self.state, infos = self._update_scan_jit(self.state, *batch[:-1])
         return infos
+
+    def step(self, buffer, obs, t0, n: int):
+        """Fused actor-learner step for the whole fleet: plan K x N envs +
+        draw every seed's n replay batches + run K x n gradient updates, all
+        inside ONE jitted dispatch (vs 3 for separate act/sample/update —
+        the per-dispatch tunnel round trip dominates the online loop,
+        docs/PERFORMANCE.md). Actions use the PRE-update parameters and the
+        draw stream is `sample_many`'s, so the composition is numerically
+        identical to `act(...)` followed by `update_many(...)` (tested:
+        tests/test_fused_step.py).
+
+        obs [K, N, ...], t0 [K, N] -> (actions [K, N, A] numpy, metrics).
+        """
+        obs = jnp.asarray(obs)
+        K, N = obs.shape[:2]
+        assert K == self.K
+        t0v = np.broadcast_to(np.asarray(t0, bool), (K, N))
+        if self._step_jit is None or self._step_buffer is not buffer:
+            self._step_buffer = buffer
+
+            def megastep(state, storage, ep_rows, n_filled, draw, obs, t0,
+                         *, n_batches):
+                a, prev_mean, keys = jax.vmap(
+                    partial(self.agent._plan_vec, eval_mode=False),
+                    in_axes=(0, 0, 0, 0, 0, None, None))(
+                    state.params, obs, state.prev_mean, t0, state.key,
+                    None, None)
+                state = state.replace(prev_mean=prev_mean, key=keys)
+                batch = buffer._sample_device(
+                    storage, ep_rows, n_filled, draw, n_batches=n_batches)
+                state, infos = jax.vmap(self.agent._update_scan)(
+                    state, *batch[:4])
+                infos = jax.tree.map(lambda x: jnp.mean(x, axis=0), infos)
+                return state, a, infos
+
+            self._step_jit = jax.jit(
+                megastep, donate_argnums=0, static_argnames=('n_batches',))
+        buffer._draws += 1
+        n_filled = np.minimum(
+            buffer._num_eps, buffer._capacity_eps).astype(np.int32)
+        self.state, a, infos = self._step_jit(
+            self.state, buffer._storage, buffer._ep_rows, n_filled,
+            np.int32(buffer._draws), obs, t0v, n_batches=n)
+        return np.asarray(a), infos
 
     # -------------------------------------------------------- checkpointing
 

@@ -152,6 +152,8 @@ class TDMPC2:
             em: jax.jit(partial(self._pi_act, eval_mode=em)) for em in (False, True)}
         self._update_jit = jax.jit(self._update, donate_argnums=0)
         self._update_scan_jit = jax.jit(self._update_scan, donate_argnums=0)
+        self._megastep_jit = None      # fused act+sample+update (vec_step)
+        self._megastep_buffer = None   # buffer the megastep was traced for
 
     # ------------------------------------------------------------------ setup
 
@@ -648,6 +650,65 @@ class TDMPC2:
             batch = parallel.shard_batch(batch, self.mesh, batch_axis=2)
         self.state, info = self._update_scan_jit(self.state, *batch)
         return info
+
+    def vec_step(self, buffer, obs, t0, n_updates: int):
+        """Fused actor-learner step: plan for all envs + draw `n_updates`
+        replay batches + run the `n_updates`-step update scan, all inside ONE
+        jitted dispatch.
+
+        The tunneled single-chip online loop is dispatch-latency-bound
+        (docs/PERFORMANCE.md): the unfused loop pays ~4 round trips per
+        vector step (weight-prep, plan, replay sample, update scan); this
+        pays one dispatch plus the unavoidable action fetch. Actions are
+        planned with the PRE-update parameters and the replay draw stream is
+        `sample_many`'s — the composition is numerically identical to
+        `act(...)` followed by `update_many(...)` (tested:
+        tests/test_fused_step.py). No reference counterpart (the reference
+        interleaves plan/update as separate CUDA-graph replays,
+        tdmpc2/tdmpc2.py:114, 334-349).
+
+        Falls back to the separate act/update path when the buffer lives in
+        host RAM (its gather is numpy) or for multitask/pi-only configs.
+        Returns (actions [n, A] numpy, update metrics).
+        """
+        cfg = self.cfg
+        if (not cfg.mpc or cfg.multitask or self.mesh is not None
+                or not getattr(buffer, '_on_device', False)):
+            a = self.act(obs, t0=t0)
+            return a, self.update_many(buffer, n_updates)
+        obs_j = jnp.asarray(obs)
+        n_envs = obs_j.shape[0]
+        t0v = np.broadcast_to(np.asarray(t0, bool).reshape(-1), (n_envs,))
+        if self._megastep_jit is None or self._megastep_buffer is not buffer:
+            self._megastep_buffer = buffer
+
+            def megastep(state, storage, ep_rows, n_filled, draw, obs, t0,
+                         *, n_batches):
+                prep = (self._prepare_value(state.params, None)
+                        if (self._fused_rollout or self._fused_cem) else None)
+                a, prev_mean, key = self._plan_vec(
+                    state.params, obs, state.prev_mean, t0, state.key,
+                    None, prep, eval_mode=False)
+                state = state.replace(prev_mean=prev_mean, key=key)
+                batch = buffer._sample_device(
+                    storage, ep_rows, None, n_filled, draw,
+                    n_batches=n_batches)
+                if n_batches == 1:   # scan expects a leading n axis
+                    batch = tuple(None if b is None else b[None]
+                                  for b in batch)
+                state, info = self._update_scan(state, *batch[:4])
+                return state, a, info
+
+            self._megastep_jit = jax.jit(
+                megastep, donate_argnums=0, static_argnames=('n_batches',))
+        buffer._draws += 1
+        n_filled = np.int32(min(buffer._num_eps, buffer._capacity_eps))
+        names = sorted(buffer._storage)
+        self.state, a, info = self._megastep_jit(
+            self.state, {k: buffer._storage[k] for k in names},
+            buffer._ep_rows, n_filled, np.int32(buffer._draws),
+            obs_j, t0v, n_batches=n_updates)
+        return np.asarray(a), info
 
     def _update_scan(self, state, obs, action, reward, terminated, task=None):
         xs = (obs, action, reward, terminated)
