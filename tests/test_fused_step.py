@@ -197,3 +197,34 @@ def test_vec_trainer_fused_equals_unfused(tmp_path):
     assert a_fused._megastep_jit is not None  # fused path was exercised
     tree_allclose(a_fused.state.params, a_plain.state.params,
                   rtol=5e-5, atol=1e-5)
+
+
+def test_vec_trainer_fused_episodic(tmp_path):
+    """Episodic vec training through the fused megastep: early terminations
+    produce variable-length episodes + termination-head training while every
+    steady-state step goes through vec_step (reference episodic semantics:
+    envs/mujoco.py:24-31, online_trainer.py:90-101)."""
+    from tdmpc2_tpu.data.buffer import Buffer as _Buffer
+    from tdmpc2_tpu.envs import make_env
+    from tdmpc2_tpu.tdmpc2 import TDMPC2 as _Agent
+    from tdmpc2_tpu.trainer import VecOnlineTrainer
+    from tdmpc2_tpu.utils.logger import Logger
+
+    cfg = parse_cfg(Config(
+        task='toy-reach-episodic', episodic=True, batch_size=8,
+        latent_dim=16, mlp_dim=32, enc_dim=32, num_q=2, num_bins=5,
+        num_samples=16, num_elites=4, num_pi_trajs=2, iterations=1,
+        horizon=3, steps=300, eval_freq=1000, eval_episodes=1,
+        num_envs=2, use_pallas=False, buffer_device='device',
+        save_agent=False, save_csv=False))
+    cfg.work_dir = str(tmp_path)
+    env = make_env(cfg)
+    cfg.seed_steps = 150
+    agent = _Agent(cfg)
+    buffer = _Buffer(cfg)
+    VecOnlineTrainer(cfg=cfg, env=env, agent=agent, buffer=buffer,
+                     logger=Logger(cfg)).train()
+    assert agent._megastep_jit is not None  # fused path was exercised
+    assert buffer.num_eps >= 3
+    term = np.asarray(buffer.sample()[3])
+    assert np.isfinite(term).all() and term.min() >= 0.0
