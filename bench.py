@@ -185,6 +185,38 @@ def main():
 
     updates_per_s = n_scan * reps_u / _time_best(upd_loop, trials=3)
 
+    # -- fused actor-learner megastep (vec_step): plan N envs + replay
+    #    sample + N updates in ONE dispatch — the vectorized online loop's
+    #    steady-state cost (docs/PERFORMANCE.md "Fused actor-learner
+    #    megastep"). Measured end-to-end like the trainer uses it: blocking
+    #    action fetch each call.
+    from tdmpc2_tpu.data.buffer import Buffer
+    n_envs = 2 if QUICK else 8
+    cfg_b = cfg.replace(num_envs=n_envs, buffer_device='device')
+    mega_agent = TDMPC2(cfg_b)
+    buf = Buffer(cfg_b)
+    rows = cfg_b.episode_length + 1
+    for i in range(3):
+        ep_a = rng.uniform(-1, 1, (rows, A)).astype(np.float32)
+        ep_r = rng.uniform(0, 1, rows).astype(np.float32)
+        ep_a[0] = np.nan
+        ep_r[0] = np.nan
+        buf.add(dict(
+            obs=rng.standard_normal((rows, obs_dim)).astype(np.float32),
+            action=ep_a, reward=ep_r,
+            terminated=np.zeros(rows, np.float32)))
+    obs_v = np.zeros((n_envs, obs_dim), np.float32)
+    t0_v = np.zeros(n_envs, bool)
+    mega_agent.vec_step(buf, obs_v, t0_v, n_envs)  # compile
+    n_mega = 2 if QUICK else 50
+
+    def mega_loop():
+        for _ in range(n_mega):
+            mega_agent.vec_step(buf, obs_v, t0_v, n_envs)
+
+    mega_ms = _time_best(mega_loop, trials=3) / n_mega * 1e3
+    mega_env_sps = n_envs / (mega_ms / 1e3)
+
     # per-call update (one dispatch per update)
     state, info = agent._update_jit(state, *batch)
     jax.block_until_ready(info['total_loss'])  # compile
@@ -202,6 +234,8 @@ def main():
           f'({per_call_plans_per_s:.1f} per-call) | '
           f'update: {updates_per_s:.1f} steps/s device-bound '
           f'({per_call_updates_per_s:.1f} per-call) | '
+          f'megastep({n_envs} envs): {mega_ms:.1f} ms '
+          f'({mega_env_sps:.0f} env-steps/s) | '
           f'dispatch: {dispatch_us:.0f} us | '
           f'device: {jax.devices()[0].platform} '
           f'({getattr(jax.devices()[0], "device_kind", "?")})',
@@ -216,6 +250,8 @@ def main():
         'per_call_plans_per_s': round(per_call_plans_per_s, 2),
         'update_steps_per_s': round(updates_per_s, 2),
         'per_call_update_steps_per_s': round(per_call_updates_per_s, 2),
+        'megastep_ms': round(mega_ms, 2),
+        'megastep_env_steps_per_s': round(mega_env_sps, 1),
         'dispatch_us': round(dispatch_us, 1),
     }))
 
