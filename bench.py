@@ -190,21 +190,23 @@ def main():
     #    steady-state cost (docs/PERFORMANCE.md "Fused actor-learner
     #    megastep"). Measured end-to-end like the trainer uses it: blocking
     #    action fetch each call.
+    import contextlib
     from tdmpc2_tpu.data.buffer import Buffer
     n_envs = 2 if QUICK else 8
     cfg_b = cfg.replace(num_envs=n_envs, buffer_device='device')
-    mega_agent = TDMPC2(cfg_b)
-    buf = Buffer(cfg_b)
-    rows = cfg_b.episode_length + 1
-    for i in range(3):
-        ep_a = rng.uniform(-1, 1, (rows, A)).astype(np.float32)
-        ep_r = rng.uniform(0, 1, rows).astype(np.float32)
-        ep_a[0] = np.nan
-        ep_r[0] = np.nan
-        buf.add(dict(
-            obs=rng.standard_normal((rows, obs_dim)).astype(np.float32),
-            action=ep_a, reward=ep_r,
-            terminated=np.zeros(rows, np.float32)))
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+        mega_agent = TDMPC2(cfg_b)
+        buf = Buffer(cfg_b)
+        rows = cfg_b.episode_length + 1
+        for i in range(3):
+            ep_a = rng.uniform(-1, 1, (rows, A)).astype(np.float32)
+            ep_r = rng.uniform(0, 1, rows).astype(np.float32)
+            ep_a[0] = np.nan
+            ep_r[0] = np.nan
+            buf.add(dict(
+                obs=rng.standard_normal((rows, obs_dim)).astype(np.float32),
+                action=ep_a, reward=ep_r,
+                terminated=np.zeros(rows, np.float32)))
     obs_v = np.zeros((n_envs, obs_dim), np.float32)
     t0_v = np.zeros(n_envs, bool)
     mega_agent.vec_step(buf, obs_v, t0_v, n_envs)  # compile
