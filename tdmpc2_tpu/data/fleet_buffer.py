@@ -32,10 +32,11 @@ class FleetBuffer:
     for the reference citations.
     """
 
-    def __init__(self, cfg, num_seeds: int):
+    def __init__(self, cfg, num_seeds: int, mesh=None):
         assert cfg.get('obs') != 'rgb', \
             'FleetBuffer is state-only; run rgb tasks single-seed'
         self.cfg = cfg
+        self.mesh = mesh  # optional: shard the seed axis across devices
         self.K = int(num_seeds)
         self._capacity = int(min(cfg.buffer_size, cfg.steps))
         self._rows = int(cfg.episode_length) + 1
@@ -70,6 +71,11 @@ class FleetBuffer:
                 (self.K, self._capacity_eps, self._rows) + tuple(shapes[k]),
                 dtypes[k]) for k in ep}
         self._ep_rows = jnp.zeros((self.K, self._capacity_eps), jnp.int32)
+        if self.mesh is not None:
+            # per-seed replay rings live on the device that owns the seed
+            from tdmpc2_tpu import parallel
+            self._storage = parallel.shard_seed_axis(self._storage, self.mesh)
+            self._ep_rows = parallel.shard_seed_axis(self._ep_rows, self.mesh)
         n_store = len(self._storage)
         self._add_jit = jax.jit(
             self._add_device, donate_argnums=tuple(range(n_store + 1)))

@@ -40,7 +40,7 @@ from tdmpc2_tpu.tdmpc2 import TDMPC2
 class FleetAgent:
     """K single-task agents with a seed-stacked TrainState."""
 
-    def __init__(self, cfg, seeds):
+    def __init__(self, cfg, seeds, mesh=None):
         self.seeds = [int(s) for s in seeds]
         self.K = len(self.seeds)
         assert self.K >= 1 and len(set(self.seeds)) == self.K, \
@@ -50,12 +50,18 @@ class FleetAgent:
         # Pallas kernels assert unbatched weights in their vmap rules; the
         # fleet maps params over seeds, so force the XLA planner.
         self.cfg = cfg.replace(use_pallas=False)
+        self.mesh = mesh  # optional: shard the seed axis across devices
         self.agent = TDMPC2(self.cfg)   # template: jitted fns + cfg handle
         keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
         # identical per-seed numerics to TDMPC2(cfg.replace(seed=s)): the
         # init is key-deterministic, so vmapping it over the stacked keys
         # reproduces each single-agent init exactly (tested)
         self.state = jax.vmap(self.agent._init_state)(keys)
+        if mesh is not None:
+            # seeds are embarrassingly parallel: each device owns
+            # K/data_size seeds end-to-end, zero collectives in the hot loop
+            from tdmpc2_tpu import parallel
+            self.state = parallel.shard_seed_axis(self.state, mesh)
 
         self._act_jit = {
             em: jax.jit(jax.vmap(

@@ -129,3 +129,31 @@ def shard_state(state, mesh: Mesh, min_size: int = 2 ** 12):
     """device_put a TrainState: FSDP-shard every large leaf, replicate rest."""
     shardings = fsdp_sharding(state, mesh, min_size=min_size)
     return jax.device_put(state, shardings)
+
+
+def seed_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for fleet pytrees whose leading axis is the seed axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_seed_axis(tree, mesh: Mesh):
+    """device_put every leaf of a seed-stacked pytree (leading [K] axis)
+    with the seed axis over the 'data' mesh axis.
+
+    Fleet training is embarrassingly parallel over seeds — each device
+    owns K/data_size seeds' params, optimizer state, replay storage and
+    env batch, and the compiled act/update/megastep programs run SPMD with
+    no collectives (the only cross-seed op is the scalar metrics mean).
+    K must be divisible by the data-axis size.
+    """
+    sh = seed_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        k = x.shape[0]
+        d = mesh.shape[DATA_AXIS]
+        assert k % d == 0, (
+            f'seed axis {k} not divisible by data-axis size {d}')
+        return jax.device_put(x, sh)
+    return jax.tree.map(put, tree)

@@ -99,8 +99,15 @@ def _train_fleet(cfg, seeds):
 
     assert not cfg.multitask, 'fleet training is single-task online'
     env = make_fleet_env(cfg, seeds)
-    agent = FleetAgent(cfg, seeds)
-    buffer = FleetBuffer(cfg, len(seeds))
+    mesh = None
+    if cfg.mesh_shape is not None:
+        # multi-chip fleet: seeds are sharded over the 'data' mesh axis
+        # (each device owns K/data_size seeds end-to-end, no collectives)
+        from tdmpc2_tpu import parallel
+        mesh = parallel.make_mesh(cfg.mesh_shape)
+        print(f'Fleet mesh: {dict(mesh.shape)} over {mesh.size} devices')
+    agent = FleetAgent(cfg, seeds, mesh=mesh)
+    buffer = FleetBuffer(cfg, len(seeds), mesh=mesh)
     loggers = []
     for k, s in enumerate(seeds):
         cfg_k = cfg.replace(seed=int(s),

@@ -199,6 +199,47 @@ def test_vec_trainer_fused_equals_unfused(tmp_path):
                   rtol=5e-5, atol=1e-5)
 
 
+def test_fleet_step_mesh_sharded_matches_unsharded():
+    """Fleet over a device mesh: the seed axis sharded across 2 CPU devices
+    must reproduce the single-device fleet exactly — seeds are
+    embarrassingly parallel (params, optimizer state, replay ring and env
+    batch all live on the seed's owner device; no collectives in the hot
+    loop beyond the scalar metrics mean)."""
+    from tdmpc2_tpu import parallel
+
+    cfg = make_cfg()
+    mesh = parallel.make_mesh('2x1', devices=jax.devices()[:2])
+    plain = FleetAgent(cfg, SEEDS)
+    shard = FleetAgent(cfg, SEEDS, mesh=mesh)
+    buf_plain = FleetBuffer(cfg, len(SEEDS))
+    buf_shard = FleetBuffer(cfg, len(SEEDS), mesh=mesh)
+    rng = np.random.default_rng(4)
+    for k in range(len(SEEDS)):
+        for _ in range(3):
+            ep = make_episode(rng, EP_LEN + 1)
+            block = {key: v[None] for key, v in ep.items()}
+            block['valid_rows'] = np.asarray([EP_LEN + 1], np.int32)
+            buf_plain.add(k, {key: v.copy() for key, v in block.items()})
+            buf_shard.add(k, block)
+
+    K, N = len(SEEDS), cfg.num_envs
+    obs = rng.standard_normal((K, N, OBS_DIM)).astype(np.float32)
+    t0 = np.ones((K, N), bool)
+    for _ in range(2):
+        a_plain, info_plain = plain.step(buf_plain, obs, t0, N)
+        a_shard, info_shard = shard.step(buf_shard, obs, t0, N)
+        np.testing.assert_allclose(a_plain, a_shard, rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            float(info_plain['total_loss']), float(info_shard['total_loss']),
+            rtol=2e-5, atol=1e-6)
+        t0 = np.zeros((K, N), bool)
+        obs = rng.standard_normal((K, N, OBS_DIM)).astype(np.float32)
+    tree_allclose(plain.state.params, shard.state.params)
+    # state leaves actually carry the seed sharding
+    leaf = jax.tree.leaves(shard.state.params)[0]
+    assert len(leaf.sharding.device_set) == 2
+
+
 def test_vec_trainer_fused_episodic(tmp_path):
     """Episodic vec training through the fused megastep: early terminations
     produce variable-length episodes + termination-head training while every
