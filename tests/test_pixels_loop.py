@@ -81,3 +81,43 @@ def test_pixel_training_loop(tmp_path):
     assert float(np.max(np.asarray(obs))) <= 255.0
     a = agent.act(env.reset(), t0=True, eval_mode=True)
     assert a.shape == (2,) and np.all(np.abs(a) <= 1)
+
+
+def test_pixel_vec_training_loop_fused(tmp_path):
+    """Vectorized pixel collection through the fused megastep: uint8
+    frame-stack obs planned per env + replay-sampled + updated in one
+    dispatch (the configuration pixel fleet runs use on chip)."""
+    from tdmpc2_tpu.envs.vec import VecEnv
+    from tdmpc2_tpu.trainer import VecOnlineTrainer
+
+    cfg = parse_cfg(Config(
+        task='toy-reach', obs='rgb', batch_size=4, latent_dim=None,
+        num_channels=4, mlp_dim=32, enc_dim=32, num_q=2, num_bins=5,
+        num_samples=8, num_elites=4, num_pi_trajs=2, iterations=1,
+        horizon=3, steps=80, eval_freq=1000, eval_episodes=1,
+        num_envs=2, buffer_device='device',
+        save_agent=False, save_csv=False))
+    cfg.work_dir = str(tmp_path)
+    env = VecEnv([
+        NormalizeInfo(Timeout(_FakePixelEnv(seed=i), max_episode_steps=12))
+        for i in range(2)])
+    cfg.obs_shape = {'rgb': (9, 32, 32)}
+    cfg.action_dim = 2
+    cfg.episode_length = 12
+    from tdmpc2_tpu.models import layers
+    import jax
+    probe = layers.conv_encoder_init(jax.random.PRNGKey(0), 9, 4)
+    out = layers.conv_encoder_apply(
+        probe, np.zeros((1, 9, 32, 32), np.float32), simnorm_dim=2)
+    cfg.latent_dim = out.shape[-1]
+    cfg.simnorm_dim = 2
+    cfg.seed_steps = 30
+
+    agent = TDMPC2(cfg)
+    buffer = Buffer(cfg)
+    VecOnlineTrainer(cfg=cfg, env=env, agent=agent, buffer=buffer,
+                     logger=Logger(cfg)).train()
+    assert agent._megastep_jit is not None  # fused path was exercised
+    assert buffer.num_eps >= 3
+    obs, *_ = buffer.sample()
+    assert obs.dtype == np.float32 and obs.shape[2:] == (9, 32, 32)
