@@ -56,6 +56,37 @@ def _time_best(fn, trials=4):
     return best
 
 
+def make_megastep_fixture(cfg, n_envs, rng):
+    """Agent + device-resident buffer (3 synthetic episodes with the NaN
+    bootstrap row) + obs/t0 arrays for timing `TDMPC2.vec_step` at bench
+    geometry. Shared with scripts/profile_step.py so the profiler measures
+    exactly the program the bench reports. Setup banners go to stderr."""
+    import contextlib
+
+    from tdmpc2_tpu.data.buffer import Buffer
+    from tdmpc2_tpu.tdmpc2 import TDMPC2
+
+    cfg_b = cfg.replace(num_envs=n_envs, buffer_device='device')
+    obs_dim = cfg_b.obs_shape['state'][0]
+    a_dim = cfg_b.action_dim
+    with contextlib.redirect_stdout(sys.stderr):
+        agent = TDMPC2(cfg_b)
+        buf = Buffer(cfg_b)
+        rows = cfg_b.episode_length + 1
+        for _ in range(3):
+            ep_a = rng.uniform(-1, 1, (rows, a_dim)).astype(np.float32)
+            ep_r = rng.uniform(0, 1, rows).astype(np.float32)
+            ep_a[0] = np.nan
+            ep_r[0] = np.nan
+            buf.add(dict(
+                obs=rng.standard_normal((rows, obs_dim)).astype(np.float32),
+                action=ep_a, reward=ep_r,
+                terminated=np.zeros(rows, np.float32)))
+    obs_v = np.zeros((n_envs, obs_dim), np.float32)
+    t0_v = np.zeros(n_envs, bool)
+    return agent, buf, obs_v, t0_v
+
+
 def main():
     argv = set(sys.argv[1:])
     if os.environ.get('BENCH_CPU'):
@@ -190,25 +221,8 @@ def main():
     #    steady-state cost (docs/PERFORMANCE.md "Fused actor-learner
     #    megastep"). Measured end-to-end like the trainer uses it: blocking
     #    action fetch each call.
-    import contextlib
-    from tdmpc2_tpu.data.buffer import Buffer
     n_envs = 2 if QUICK else 8
-    cfg_b = cfg.replace(num_envs=n_envs, buffer_device='device')
-    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
-        mega_agent = TDMPC2(cfg_b)
-        buf = Buffer(cfg_b)
-        rows = cfg_b.episode_length + 1
-        for i in range(3):
-            ep_a = rng.uniform(-1, 1, (rows, A)).astype(np.float32)
-            ep_r = rng.uniform(0, 1, rows).astype(np.float32)
-            ep_a[0] = np.nan
-            ep_r[0] = np.nan
-            buf.add(dict(
-                obs=rng.standard_normal((rows, obs_dim)).astype(np.float32),
-                action=ep_a, reward=ep_r,
-                terminated=np.zeros(rows, np.float32)))
-    obs_v = np.zeros((n_envs, obs_dim), np.float32)
-    t0_v = np.zeros(n_envs, bool)
+    mega_agent, buf, obs_v, t0_v = make_megastep_fixture(cfg, n_envs, rng)
     mega_agent.vec_step(buf, obs_v, t0_v, n_envs)  # compile
     n_mega = 2 if QUICK else 50
 

@@ -96,7 +96,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _make_cfg
-    from tdmpc2_tpu.data.buffer import Buffer
     from tdmpc2_tpu.tdmpc2 import TDMPC2
 
     cfg = _make_cfg()
@@ -141,22 +140,9 @@ def main():
         jax.block_until_ready(info['total_loss'])
     programs['update_b256'] = _trace(run_update, 'update', root)
 
-    # -- fused megastep (8 envs)
-    cfg_m = cfg.replace(num_envs=8, buffer_device='device')
-    mega = TDMPC2(cfg_m)
-    buf = Buffer(cfg_m)
-    rows = cfg_m.episode_length + 1
-    for _ in range(3):
-        ep_a = rng.uniform(-1, 1, (rows, A)).astype(np.float32)
-        ep_r = rng.uniform(0, 1, rows).astype(np.float32)
-        ep_a[0] = np.nan
-        ep_r[0] = np.nan
-        buf.add(dict(
-            obs=rng.standard_normal((rows, obs_dim)).astype(np.float32),
-            action=ep_a, reward=ep_r,
-            terminated=np.zeros(rows, np.float32)))
-    obs_v = np.zeros((8, obs_dim), np.float32)
-    t0_v = np.zeros(8, bool)
+    # -- fused megastep (8 envs) — identical fixture to bench.py's metric
+    from bench import make_megastep_fixture
+    mega, buf, obs_v, t0_v = make_megastep_fixture(cfg, 8, rng)
 
     def run_mega():
         mega.vec_step(buf, obs_v, t0_v, 8)

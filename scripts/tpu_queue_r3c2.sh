@@ -28,7 +28,8 @@ run() {
   local name=$1 tmo=$2; shift 2
   if [ -f .stop_queue32 ]; then log "stop sentinel; exiting"; exit 0; fi
   local now rem; now=$(date +%s); rem=$(( DEADLINE - now ))
-  if [ "$rem" -lt 600 ]; then log "deadline reached; skipping $name"; return 1; fi
+  # 99 = deadline skip (job never ran) — callers must not read it as a crash
+  if [ "$rem" -lt 600 ]; then log "deadline reached; skipping $name"; return 99; fi
   if [ "$tmo" -gt "$rem" ]; then tmo=$rem; fi
   log "START $name (tmo=${tmo}s): $*"
   timeout "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
@@ -67,8 +68,8 @@ WALKER="python train.py task=walker-walk seeds=2,3 steps=1000000 num_envs=8 \
 FUSED=""
 run walker_probe 900 $WALKER
 rc=$?
-if [ "$rc" = 124 ] || [ "$rc" = 0 ]; then
-  log "megastep probe OK (rc=$rc); keeping fused_step=true"
+if [ "$rc" = 124 ] || [ "$rc" = 0 ] || [ "$rc" = 99 ]; then
+  log "megastep probe OK/skipped (rc=$rc); keeping fused_step=true"
 else
   FUSED="fused_step=false"
   log "megastep probe FAILED rc=$rc (see /tmp/q_walker_probe.log); $FUSED"

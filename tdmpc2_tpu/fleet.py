@@ -122,6 +122,8 @@ class FleetAgent:
 
         obs [K, N, ...], t0 [K, N] -> (actions [K, N, A] numpy, metrics).
         """
+        assert buffer.num_eps > 0, \
+            'Cannot step: some seed has no replay episodes'
         obs = jnp.asarray(obs)
         K, N = obs.shape[:2]
         assert K == self.K

@@ -149,10 +149,10 @@ def shard_seed_axis(tree, mesh: Mesh):
     sh = seed_sharding(mesh)
 
     def put(x):
-        if x is None:
-            return None
-        k = x.shape[0]
         d = mesh.shape[DATA_AXIS]
+        assert getattr(x, 'ndim', 0) > 0, \
+            f'seed-stacked leaf expected, got 0-d {x!r}'
+        k = x.shape[0]
         assert k % d == 0, (
             f'seed axis {k} not divisible by data-axis size {d}')
         return jax.device_put(x, sh)

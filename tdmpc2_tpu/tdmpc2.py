@@ -676,6 +676,7 @@ class TDMPC2:
                 or not getattr(buffer, '_on_device', False)):
             a = self.act(obs, t0=t0)
             return a, self.update_many(buffer, n_updates)
+        assert buffer._num_eps > 0, 'Cannot step from an empty buffer'
         obs_j = jnp.asarray(obs)
         n_envs = obs_j.shape[0]
         t0v = np.broadcast_to(np.asarray(t0, bool).reshape(-1), (n_envs,))

@@ -215,17 +215,8 @@ class FleetOnlineTrainer:
         pretrained = getattr(self, '_resumed', False)
         obs = None
 
-        # per-phase wall-time accounting (printed every ~500 vector steps)
-        from time import perf_counter
-        phases = {'act': 0.0, 'update': 0.0, 'env': 0.0, 'flush': 0.0}
-        phase_steps = 0
-        t_mark = perf_counter()
-
-        def mark(name):
-            nonlocal t_mark
-            now = perf_counter()
-            phases[name] += now - t_mark
-            t_mark = now
+        from tdmpc2_tpu.utils.phase import PhaseTimer
+        timer = PhaseTimer(steps_per_mark=N, suffix='env-steps/s per seed')
 
         while self._step <= cfg.steps:
             if self._step >= next_eval_at:
@@ -241,8 +232,8 @@ class FleetOnlineTrainer:
                 self._start_episodes(obs)
                 t_in_ep = np.zeros(K * N, np.int64)
 
-            t_mark = perf_counter()
-            if (getattr(cfg, 'fused_step', True) and pretrained
+            timer.reset()
+            if (cfg.fused_step and pretrained
                     and self._step > cfg.seed_steps
                     and self.buffer.num_eps > 0):
                 # fused actor-learner step: plan K*N envs + replay sample +
@@ -252,7 +243,7 @@ class FleetOnlineTrainer:
                     (t_in_ep == 0).reshape(K, N), N)
                 actions = actions.reshape(K * N, -1)
                 train_metrics.update(_tm)
-                mark('act')
+                timer.mark('act')
             else:
                 if self._step > cfg.seed_steps:
                     actions = self.agent.act(
@@ -260,7 +251,7 @@ class FleetOnlineTrainer:
                         t0=(t_in_ep == 0).reshape(K, N)).reshape(K * N, -1)
                 else:
                     actions = self.env.rand_act()
-                mark('act')
+                timer.mark('act')
 
                 # dispatch the fused K*N-update BEFORE stepping the envs: it
                 # consumes replay only, so host physics overlaps device time
@@ -277,10 +268,10 @@ class FleetOnlineTrainer:
                         # N updates/seed (1 per env step), one device call
                         _tm = self.agent.update_many(self.buffer, N)
                     train_metrics.update(_tm)
-                mark('update')
+                timer.mark('update')
 
             obs, rewards, dones, infos = self.env.step(actions)
-            mark('env')
+            timer.mark('env')
             self._record_steps(obs, actions, rewards, infos)
             t_in_ep += 1
             self._step += N
@@ -305,17 +296,8 @@ class FleetOnlineTrainer:
                     obs[j] = self.env.reset_at(j)
                     self._reset_episode_at(j, obs[j])
                     t_in_ep[j] = 0
-            mark('flush')
-
-            phase_steps += 1
-            if phase_steps == 500:
-                tot = sum(phases.values()) or 1e-9
-                print('[phases] ' + ' '.join(
-                    f'{k}={v / phase_steps * 1e3:.1f}ms'
-                    for k, v in phases.items())
-                    + f' | {N * phase_steps / tot:.1f} env-steps/s per seed')
-                phases = dict.fromkeys(phases, 0.0)
-                phase_steps = 0
+            timer.mark('flush')
+            timer.step()
 
             if any(len(st['r']) >= N for st in ep_stats) or (
                     dones[0] and ep_stats[0]['r']):

@@ -109,18 +109,8 @@ class VecOnlineTrainer(OnlineTrainer):
         pretrained = getattr(self, '_resumed', False)
         obs = None
 
-        # per-phase wall-time accounting (printed every ~500 vector steps so
-        # run logs show where the dispatch-latency-bound loop spends time)
-        from time import perf_counter
-        phases = {'act': 0.0, 'update': 0.0, 'env': 0.0, 'flush': 0.0}
-        phase_steps = 0
-        t_mark = perf_counter()
-
-        def mark(name):
-            nonlocal t_mark
-            now = perf_counter()
-            phases[name] += now - t_mark
-            t_mark = now
+        from tdmpc2_tpu.utils.phase import PhaseTimer
+        timer = PhaseTimer(steps_per_mark=n)
 
         while self._step <= cfg.steps:
             if self._step >= next_eval_at:
@@ -136,7 +126,7 @@ class VecOnlineTrainer(OnlineTrainer):
                 self._start_episodes(obs)
                 t_in_ep = np.zeros(n, np.int64)
 
-            t_mark = perf_counter()
+            timer.reset()
             if (cfg.fused_step and pretrained and self._step > cfg.seed_steps
                     and self.buffer.num_eps > 0):
                 # fused actor-learner step: plan + replay sample + n updates
@@ -144,13 +134,13 @@ class VecOnlineTrainer(OnlineTrainer):
                 actions, _tm = self.agent.vec_step(
                     self.buffer, obs, (t_in_ep == 0), n)
                 train_metrics.update(_tm)
-                mark('act')
+                timer.mark('act')
             else:
                 if self._step > cfg.seed_steps:
                     actions = self.agent.act(obs, t0=(t_in_ep == 0))
                 else:
                     actions = self.env.rand_act()
-                mark('act')
+                timer.mark('act')
 
                 # dispatch the device update BEFORE stepping the envs: it
                 # only consumes replay, so host physics/rendering overlaps it
@@ -166,10 +156,10 @@ class VecOnlineTrainer(OnlineTrainer):
                         # n updates (1/env-step) fused into one device call
                         _tm = self.agent.update_many(self.buffer, n)
                     train_metrics.update(_tm)
-                mark('update')
+                timer.mark('update')
 
             obs, rewards, dones, infos = self.env.step(actions)
-            mark('env')
+            timer.mark('env')
             self._record_steps(obs, actions, rewards, infos)
             t_in_ep += 1
             self._step += n
@@ -187,17 +177,8 @@ class VecOnlineTrainer(OnlineTrainer):
                 obs[i] = self.env.reset_at(i)
                 self._reset_episode_at(i, obs[i])
                 t_in_ep[i] = 0
-            mark('flush')
-
-            phase_steps += 1
-            if phase_steps == 500:
-                tot = sum(phases.values()) or 1e-9
-                print('[phases] ' + ' '.join(
-                    f'{k}={v / phase_steps * 1e3:.1f}ms'
-                    for k, v in phases.items())
-                    + f' | {n * phase_steps / tot:.1f} env-steps/s')
-                phases = dict.fromkeys(phases, 0.0)
-                phase_steps = 0
+            timer.mark('flush')
+            timer.step()
 
             if ep_rewards and (len(ep_rewards) >= n or dones[0]):
                 train_metrics.update(
