@@ -154,6 +154,7 @@ class TDMPC2:
         self._update_scan_jit = jax.jit(self._update_scan, donate_argnums=0)
         self._megastep_jit = None      # fused act+sample+update (vec_step)
         self._megastep_buffer = None   # buffer the megastep was traced for
+        self._plan_tasks_jit = None    # batched-over-tasks eval planner
 
     # ------------------------------------------------------------------ setup
 
@@ -371,6 +372,38 @@ class TDMPC2:
             prev_mean = jax.lax.dynamic_update_slice_in_dim(
                 prev_mean, means, 0, axis=0)
         return actions, prev_mean, keys[n]
+
+    def act_tasks(self, obs, prev_mean, t0, tasks):
+        """Greedy eval actions for a BATCH OF TASKS in one dispatch.
+
+        Multi-task offline evaluation (reference evaluate.py:66-90 and
+        offline_trainer.py:22-40) loops the 30/80 tasks sequentially — one
+        dispatch per env step per task. Here the per-task episodes run in
+        lockstep: the single-obs MPPI kernel is vmapped over (obs_i,
+        prev_mean_i, t0_i, key_i, task_i), so each eval step costs one
+        round trip for ALL tasks. `prev_mean` [n, H, A] is caller-owned
+        (the eval loop threads it; n == num tasks, unrelated to
+        cfg.num_envs). Returns (actions [n, A] numpy, new prev_mean).
+        """
+        obs = jnp.asarray(obs)
+        n = obs.shape[0]
+        t0v = np.broadcast_to(np.asarray(t0, bool).reshape(-1), (n,))
+        tasks = jnp.asarray(tasks, jnp.int32).reshape(n, 1)
+        if self._plan_tasks_jit is None:
+            def plan_tasks(params, obs, pm, t0, key, tasks):
+                m = obs.shape[0]   # trace-time constant (retrace per n)
+                keys = jax.random.split(key, m + 1)
+                a, means, _ = jax.vmap(
+                    partial(self._plan, eval_mode=True),
+                    in_axes=(None, 0, 0, 0, 0, 0, None))(
+                    params, obs[:, None], pm, t0, keys[:m], tasks, None)
+                return a, means, keys[m]
+            self._plan_tasks_jit = jax.jit(plan_tasks)
+        st = self.state
+        a, pm, key = self._plan_tasks_jit(
+            st.params, obs, prev_mean, t0v, st.key, tasks)
+        self.state = st.replace(key=key)
+        return np.asarray(a), pm
 
     # ------------------------------------------------------------- planning
 

@@ -54,7 +54,48 @@ class OfflineTrainer(Trainer):
         self._start_time = time()
 
     def eval(self):
-        """Evaluate over all tasks (reference offline_trainer.py:22-40)."""
+        """Evaluate over all tasks (reference offline_trainer.py:22-40).
+
+        The reference loops tasks sequentially — one device round trip per
+        env step per task (30x500x episodes dispatches for mt30). Here all
+        tasks' episodes run in LOCKSTEP through one vmapped planner call per
+        step (`TDMPC2.act_tasks`), cutting eval wall time by ~the task
+        count. Per-task scores are identical in distribution (greedy eval,
+        independent per-task PRNG streams)."""
+        envs = getattr(self.env, 'envs', None)
+        if envs is None or not self.cfg.mpc:
+            return self._eval_sequential()
+        n = len(envs)
+        H, A = self.cfg.horizon, self.cfg.action_dim
+        a_dims = self.env.action_dims
+        rewards = [[] for _ in range(n)]
+        successes = [[] for _ in range(n)]
+        for _ in range(self.cfg.eval_episodes):
+            obs = np.stack([self.env._pad(e.reset()) for e in envs])
+            prev_mean = np.zeros((n, H, A), np.float32)
+            t0 = np.ones(n, bool)
+            active = np.ones(n, bool)
+            ep_reward = np.zeros(n)
+            while active.any():
+                actions, prev_mean = self.agent.act_tasks(
+                    obs, prev_mean, t0, np.arange(n))
+                t0[:] = False
+                for i in np.flatnonzero(active):
+                    o, r, done, info = envs[i].step(actions[i][: a_dims[i]])
+                    obs[i] = self.env._pad(o)
+                    ep_reward[i] += r
+                    if done:
+                        active[i] = False
+                        rewards[i].append(float(ep_reward[i]))
+                        successes[i].append(info.get('success', 0.0))
+        results = {}
+        for i, task in enumerate(self.cfg.tasks):
+            results[f'episode_reward+{task}'] = float(np.nanmean(rewards[i]))
+            results[f'episode_success+{task}'] = float(np.nanmean(successes[i]))
+        return results
+
+    def _eval_sequential(self):
+        """One-task-at-a-time fallback (exact reference loop shape)."""
         results = {}
         for task_idx, task in enumerate(self.cfg.tasks):
             rewards, successes = [], []
