@@ -35,6 +35,44 @@ def evaluate(cfg):
     scores = []
     tasks = cfg.tasks if cfg.multitask else [cfg.task]
     results = {}
+
+    # multitask + no video: run every task's episodes in LOCKSTEP through
+    # the batched-over-tasks planner (one dispatch per eval step for all
+    # tasks, ~task-count x faster than the reference's sequential loop,
+    # evaluate.py:66-90). Video or pi-only eval uses the sequential path.
+    envs = getattr(env, 'envs', None)
+    if cfg.multitask and envs is not None and cfg.mpc and not cfg.save_video:
+        n = len(envs)
+        H, A = cfg.horizon, cfg.action_dim
+        a_dims = env.action_dims
+        rewards = [[] for _ in range(n)]
+        successes = [[] for _ in range(n)]
+        for _ in range(cfg.eval_episodes):
+            obs = np.stack([env._pad(e.reset()) for e in envs])
+            prev_mean = np.zeros((n, H, A), np.float32)
+            t0 = np.ones(n, bool)
+            active = np.ones(n, bool)
+            ep_reward = np.zeros(n)
+            while active.any():
+                actions, prev_mean = agent.act_tasks(
+                    obs, prev_mean, t0, np.arange(n))
+                t0[:] = False
+                for i in np.flatnonzero(active):
+                    o, r, done, info = envs[i].step(actions[i][: a_dims[i]])
+                    obs[i] = env._pad(o)
+                    ep_reward[i] += r
+                    if done:
+                        active[i] = False
+                        rewards[i].append(float(ep_reward[i]))
+                        successes[i].append(info.get('success', 0.0))
+        for i, task in enumerate(tasks):
+            r, s = float(np.nanmean(rewards[i])), float(np.nanmean(successes[i]))
+            results[task] = (r, s)
+            print(f'  {task:<28s} R: {r:8.1f}  S: {s:.2f}')
+            scores.append(s * 100 if task.startswith('mw-') else r / 10)
+        print(f'Normalized score: {np.nanmean(scores):.2f}')
+        return results
+
     for task_idx, task in enumerate(tasks):
         if not cfg.multitask:
             task_idx = None

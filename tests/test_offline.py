@@ -133,3 +133,24 @@ def test_offline_trainer_resume(tmp_path):
     csv_lines = (tmp_path / 'work' / 'eval.csv').read_text().splitlines()
     steps = [int(l.split(',')[0]) for l in csv_lines[1:]]
     assert 5 in steps and 10 in steps
+
+
+def test_evaluate_cli_multitask_batched(tmp_path):
+    """Multitask evaluate: the batched-over-tasks lockstep path reports a
+    per-task result dict + normalized score from a saved checkpoint."""
+    cfg = multitask_cfg(tmp_path, steps=5, eval_freq=5,
+                        data_dir=str(tmp_path / 'data'))
+    env = make_env(cfg)
+    write_synthetic_chunks(tmp_path / 'data', obs_dim=6,
+                           act_dim=cfg.action_dim, rows=cfg.episode_length + 1)
+    agent = TDMPC2(cfg)
+    fp = tmp_path / 'work' / 'models' / 'eval_ckpt.pkl'
+    fp.parent.mkdir(parents=True, exist_ok=True)
+    agent.save(fp)
+
+    from tdmpc2_tpu.evaluate import evaluate
+    cfg2 = cfg.replace(checkpoint=str(fp), eval_episodes=1)
+    results = evaluate(cfg2)
+    assert set(results) == set(cfg.tasks)
+    for r, s in results.values():
+        assert np.isfinite(r)
