@@ -269,3 +269,29 @@ def test_vec_trainer_fused_episodic(tmp_path):
     assert buffer.num_eps >= 3
     term = np.asarray(buffer.sample()[3])
     assert np.isfinite(term).all() and term.min() >= 0.0
+
+
+def test_fleet_trainer_fused_e2e(tmp_path):
+    """Full fleet training loop through the fused megastep branch: 3 seeds
+    cross the seed phase + pretrain burst and train via FleetAgent.step."""
+    from tdmpc2_tpu.data.fleet_buffer import FleetBuffer
+    from tdmpc2_tpu.envs import make_fleet_env
+    from tdmpc2_tpu.trainer.fleet_online import FleetOnlineTrainer
+    from tdmpc2_tpu.utils.logger import Logger
+
+    cfg = parse_cfg(Config(
+        task='toy-reach', batch_size=8, latent_dim=16, mlp_dim=32,
+        enc_dim=32, num_q=2, num_bins=5, num_samples=16, num_elites=4,
+        num_pi_trajs=2, iterations=1, horizon=3, steps=300, eval_freq=1000,
+        eval_episodes=1, num_envs=2, save_agent=False, save_csv=False,
+        use_pallas=False))
+    cfg.work_dir = str(tmp_path / 'toy-reach' / '1' / 'x')
+    seeds = [1, 2, 3]
+    env = make_fleet_env(cfg, seeds)
+    cfg.seed_steps = 120
+    agent = FleetAgent(cfg, seeds)
+    loggers = [Logger(cfg.replace(seed=s, work_dir=str(agent.work_dir(k))))
+               for k, s in enumerate(seeds)]
+    FleetOnlineTrainer(cfg=cfg, env=env, agent=agent,
+                       buffer=FleetBuffer(cfg, 3), loggers=loggers).train()
+    assert agent._step_jit is not None  # fused fleet path was exercised
