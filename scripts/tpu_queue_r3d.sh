@@ -1,14 +1,13 @@
 #!/bin/bash
-# Round-3 session-2 queue B (follower of tpu_queue_r3c2.sh): the remaining
-# VERDICT items that need chip hours, in priority order.
-#   1. acrobot-swingup fleet seeds=1,2,3 to 1.3M — VERDICT #3: the r2 curve
-#      (182.6 @600k, one seed) was the only one below the reference band
-#      (336-377 @600k, 476-594 @1M); its checkpoint died with the container,
-#      so this is a fresh 3-seed run on the (faster) fused-megastep path.
-#   2. lunarlander-continuous episodic to 400k — VERDICT #5: committed curve
+# Round-3 session-2 queue B (follower of tpu_queue_r3c2.sh), REVISED ORDER:
+# lunarlander episodic before the acrobot fleet, so the deadline squeezes
+# the long acrobot slot (which exports partial curves every 20 min) instead
+# of killing the short lunar run outright.
+#   1. lunarlander-continuous episodic to 400k — VERDICT #5: committed curve
 #      stops at 150k below the success threshold (ref success = return>200).
-#   3. cup-catch to 400k (ref 979.6 @400k) — breadth task dropped from r2b.
-#   4. pendulum-swingup to 400k — optional filler if time remains.
+#   2. acrobot-swingup fleet seeds=1,2,3 to 1.3M — VERDICT #3: the r2 curve
+#      (182.6 @600k, one seed) was the only one below the reference band
+#      (336-377 @600k, 476-594 @1M); fresh 3-seed run on the fused megastep.
 #
 # Usage: nohup setsid bash scripts/tpu_queue_r3d.sh <WAIT_PID> <DEADLINE_EPOCH> \
 #          > /tmp/tpu_queue_r3d.log 2>&1 &
@@ -31,7 +30,7 @@ run() {
   local name=$1 tmo=$2; shift 2
   if [ -f .stop_queue3d ]; then log "stop sentinel; exiting"; exit 0; fi
   local now rem; now=$(date +%s); rem=$(( DEADLINE - now ))
-  if [ "$rem" -lt 600 ]; then log "deadline reached; skipping $name"; return 1; fi
+  if [ "$rem" -lt 600 ]; then log "deadline reached; skipping $name"; return 99; fi
   if [ "$tmo" -gt "$rem" ]; then tmo=$rem; fi
   log "START $name (tmo=${tmo}s): $*"
   timeout "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
@@ -62,16 +61,7 @@ start_exporter() {  # start_exporter <task> <exp> <seed...>
 }
 stop_exporter() { [ -n "$EXPORTER" ] && kill "$EXPORTER" 2>/dev/null; EXPORTER=; }
 
-# 1. acrobot 3-seed fleet to 1.3M (ref band: 476-594 @1M)
-start_exporter acrobot-swingup r3 1 2 3
-run acrobot_fleet 14400 python train.py task=acrobot-swingup seeds=1,2,3 \
-  steps=1300000 num_envs=8 eval_freq=50000 eval_episodes=10 \
-  exp_name=r3 resume=true
-stop_exporter
-export_task acrobot-swingup r3 1 2 3
-grep -h "phases" /tmp/q_acrobot_fleet.log | tail -2
-
-# 2. lunarlander episodic to 400k (success threshold: return > 200)
+# 1. lunarlander episodic to 400k (success threshold: return > 200)
 start_exporter lunarlander-continuous r3 1
 run lunar 7200 python train.py task=lunarlander-continuous episodic=true \
   seed=1 steps=400000 num_envs=8 eval_freq=25000 eval_episodes=10 \
@@ -79,18 +69,14 @@ run lunar 7200 python train.py task=lunarlander-continuous episodic=true \
 stop_exporter
 export_task lunarlander-continuous r3 1
 
-# 3. cup-catch to 400k (ref 979.6 @400k)
-start_exporter cup-catch r3 1
-run cupcatch 5400 python train.py task=cup-catch seed=1 steps=400000 \
-  num_envs=8 eval_freq=50000 eval_episodes=10 exp_name=r3 resume=true
+# 2. acrobot 3-seed fleet to 1.3M (ref band: 476-594 @1M); deadline-capped,
+#    partial curves export every 20 min
+start_exporter acrobot-swingup r3 1 2 3
+run acrobot_fleet 14400 python train.py task=acrobot-swingup seeds=1,2,3 \
+  steps=1300000 num_envs=8 eval_freq=50000 eval_episodes=10 \
+  exp_name=r3 resume=true
 stop_exporter
-export_task cup-catch r3 1
-
-# 4. optional filler: pendulum-swingup to 400k
-start_exporter pendulum-swingup r3 1
-run pendulum 5400 python train.py task=pendulum-swingup seed=1 steps=400000 \
-  num_envs=8 eval_freq=50000 eval_episodes=10 exp_name=r3 resume=true
-stop_exporter
-export_task pendulum-swingup r3 1
+export_task acrobot-swingup r3 1 2 3
+grep -h "phases" /tmp/q_acrobot_fleet.log | tail -2
 
 log "queue B drained"

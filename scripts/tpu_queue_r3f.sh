@@ -15,13 +15,6 @@ END=${2:?need absolute epoch by which the chip must be free}
 
 log() { echo "[q3f $(date -u '+%m-%d %H:%M:%S')] $*"; }
 
-# watcher: as soon as the lunar slot starts, set queue B's stop sentinel so
-# its cup-catch/pendulum fillers are skipped in favor of the mt30 slot
-while kill -0 "$R3D" 2>/dev/null && [ ! -f /tmp/q_lunar.log ]; do sleep 30; done
-if kill -0 "$R3D" 2>/dev/null; then
-  touch .stop_queue3d
-  log "lunar started; queue B sentinel set (cup-catch/pendulum dropped for mt30)"
-fi
 while kill -0 "$R3D" 2>/dev/null; do sleep 30; done
 log "TPU free"
 
