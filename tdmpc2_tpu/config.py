@@ -163,6 +163,15 @@ class Config:
     # separate dispatches (e.g. to overlap host physics with device update
     # time on a low-latency local chip).
     fused_step: bool = True
+    # pipelined collection schedule (only with fused_step): the plan is its
+    # own dispatch (+ action fetch) and the sample+update dispatch is issued
+    # asynchronously BEFORE the env step, so the update executes on device
+    # while the host runs physics/rendering. One extra ~0.3 ms dispatch per
+    # vector step buys back the physics time the one-dispatch megastep
+    # serializes — a win whenever env stepping costs more than the dispatch
+    # (state tasks ~+10-15%; render-heavy pixels more). false = the
+    # one-dispatch megastep.
+    overlap_update: bool = True
     # replay storage placement: 'auto' (2.5x-bytes-fit heuristic, reference
     # buffer.py:62), 'device' (force HBM), 'host' (force RAM + prefetch)
     buffer_device: str = 'auto'

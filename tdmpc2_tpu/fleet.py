@@ -78,6 +78,8 @@ class FleetAgent:
         self._update_scan_jit = jax.jit(update_scan_meaned, donate_argnums=0)
         self._step_jit = None      # fused act+sample+update (step())
         self._step_buffer = None
+        self._upd_fused_jit = None  # sample+update in one dispatch
+        self._upd_fused_buffer = None
 
     # ------------------------------------------------------------------ act
 
@@ -108,6 +110,34 @@ class FleetAgent:
         """
         batch = buffer.sample_many(n)
         self.state, infos = self._update_scan_jit(self.state, *batch[:-1])
+        return infos
+
+    def update_many_fused(self, buffer, n: int):
+        """n updates per seed with the replay draw INSIDE the jit — one
+        dispatch for all K x n gradient steps. Numerically identical to
+        `update_many` (same draw stream); used by the pipelined collection
+        schedule (update overlaps host physics)."""
+        assert buffer.num_eps > 0, 'Cannot update: some seed has no episodes'
+        if (self._upd_fused_jit is None
+                or self._upd_fused_buffer is not buffer):
+            self._upd_fused_buffer = buffer
+
+            def upd(state, storage, ep_rows, n_filled, draw, *, n_batches):
+                batch = buffer._sample_device(
+                    storage, ep_rows, n_filled, draw, n_batches=n_batches)
+                state, infos = jax.vmap(self.agent._update_scan)(
+                    state, *batch[:4])
+                return state, jax.tree.map(
+                    lambda x: jnp.mean(x, axis=0), infos)
+
+            self._upd_fused_jit = jax.jit(
+                upd, donate_argnums=0, static_argnames=('n_batches',))
+        buffer._draws += 1
+        n_filled = np.minimum(
+            buffer._num_eps, buffer._capacity_eps).astype(np.int32)
+        self.state, infos = self._upd_fused_jit(
+            self.state, buffer._storage, buffer._ep_rows, n_filled,
+            np.int32(buffer._draws), n_batches=n)
         return infos
 
     def step(self, buffer, obs, t0, n: int):

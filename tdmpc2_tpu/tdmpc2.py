@@ -155,6 +155,9 @@ class TDMPC2:
         self._megastep_jit = None      # fused act+sample+update (vec_step)
         self._megastep_buffer = None   # buffer the megastep was traced for
         self._plan_tasks_jit = None    # batched-over-tasks eval planner
+        self._upd_fused_jit = None     # sample+update in one dispatch
+        self._upd_fused_buffer = None
+        self._plan_collect_jit = None  # train-time act with in-jit prep
 
     # ------------------------------------------------------------------ setup
 
@@ -743,6 +746,65 @@ class TDMPC2:
             buffer._ep_rows, n_filled, np.int32(buffer._draws),
             obs_j, t0v, n_batches=n_updates)
         return np.asarray(a), info
+
+    def act_collect(self, obs, t0):
+        """Training-time batched act: like `act(...)` but with the fused-
+        kernel weight prep computed INSIDE the jit — during collection the
+        params change every step, so the act()-level prep cache never hits
+        and would cost a separate dispatch per step. Single-task mpc only
+        (the collection trainers' domain); falls back to act() otherwise."""
+        cfg = self.cfg
+        if not cfg.mpc or cfg.multitask or not (
+                self._fused_rollout or self._fused_cem):
+            return self.act(obs, t0=t0)
+        obs_j = jnp.asarray(obs)
+        n = obs_j.shape[0]
+        t0v = np.broadcast_to(np.asarray(t0, bool).reshape(-1), (n,))
+        if self._plan_collect_jit is None:
+            def plan_collect(params, obs, pm, t0, key):
+                prep = self._prepare_value(params, None)
+                return self._plan_vec(params, obs, pm, t0, key, None, prep,
+                                      eval_mode=False)
+            self._plan_collect_jit = jax.jit(plan_collect)
+        st = self.state
+        a, prev_mean, key = self._plan_collect_jit(
+            st.params, obs_j, st.prev_mean, t0v, st.key)
+        self.state = st.replace(prev_mean=prev_mean, key=key)
+        return np.asarray(a)
+
+    def update_many_fused(self, buffer, n: int):
+        """`n` updates with the replay draw INSIDE the jit — one dispatch
+        (vs `sample_many` + update scan = 2). The draw stream and numerics
+        are exactly `update_many`'s (tested: tests/test_fused_step.py).
+        Used by the pipelined collection schedule: the trainer dispatches
+        this asynchronously right after the action fetch, so the update
+        executes on device while the host steps physics."""
+        if (self.cfg.multitask or self.mesh is not None
+                or not getattr(buffer, '_on_device', False)):
+            return self.update_many(buffer, n)
+        assert buffer._num_eps > 0, 'Cannot update from an empty buffer'
+        if self._upd_fused_jit is None or self._upd_fused_buffer is not buffer:
+            self._upd_fused_buffer = buffer
+
+            def upd(state, storage, ep_rows, n_filled, draw, *, n_batches):
+                batch = buffer._sample_device(
+                    storage, ep_rows, None, n_filled, draw,
+                    n_batches=n_batches)
+                if n_batches == 1:   # scan expects a leading n axis
+                    batch = tuple(None if b is None else b[None]
+                                  for b in batch)
+                return self._update_scan(state, *batch[:4])
+
+            self._upd_fused_jit = jax.jit(
+                upd, donate_argnums=0, static_argnames=('n_batches',))
+        buffer._draws += 1
+        names = sorted(buffer._storage)
+        self.state, info = self._upd_fused_jit(
+            self.state, {k: buffer._storage[k] for k in names},
+            buffer._ep_rows,
+            np.int32(min(buffer._num_eps, buffer._capacity_eps)),
+            np.int32(buffer._draws), n_batches=n)
+        return info
 
     def _update_scan(self, state, obs, action, reward, terminated, task=None):
         xs = (obs, action, reward, terminated)

@@ -236,14 +236,26 @@ class FleetOnlineTrainer:
             if (cfg.fused_step and pretrained
                     and self._step > cfg.seed_steps
                     and self.buffer.num_eps > 0):
-                # fused actor-learner step: plan K*N envs + replay sample +
-                # K*N updates in ONE dispatch (see FleetAgent.step)
-                actions, _tm = self.agent.step(
-                    self.buffer, self._obs_kn(obs),
-                    (t_in_ep == 0).reshape(K, N), N)
-                actions = actions.reshape(K * N, -1)
-                train_metrics.update(_tm)
-                timer.mark('act')
+                if getattr(cfg, 'overlap_update', True):
+                    # pipelined: one plan dispatch for K*N envs (+ fetch),
+                    # then the fused K*N-update dispatched ASYNC before the
+                    # env step so it overlaps host physics
+                    actions = self.agent.act(
+                        self._obs_kn(obs),
+                        t0=(t_in_ep == 0).reshape(K, N)).reshape(K * N, -1)
+                    timer.mark('act')
+                    train_metrics.update(
+                        self.agent.update_many_fused(self.buffer, N))
+                    timer.mark('update')
+                else:
+                    # one-dispatch megastep: plan + sample + K*N updates
+                    # (see FleetAgent.step)
+                    actions, _tm = self.agent.step(
+                        self.buffer, self._obs_kn(obs),
+                        (t_in_ep == 0).reshape(K, N), N)
+                    actions = actions.reshape(K * N, -1)
+                    train_metrics.update(_tm)
+                    timer.mark('act')
             else:
                 if self._step > cfg.seed_steps:
                     actions = self.agent.act(

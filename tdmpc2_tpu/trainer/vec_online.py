@@ -129,12 +129,22 @@ class VecOnlineTrainer(OnlineTrainer):
             timer.reset()
             if (cfg.fused_step and pretrained and self._step > cfg.seed_steps
                     and self.buffer.num_eps > 0):
-                # fused actor-learner step: plan + replay sample + n updates
-                # in ONE dispatch (see TDMPC2.vec_step)
-                actions, _tm = self.agent.vec_step(
-                    self.buffer, obs, (t_in_ep == 0), n)
-                train_metrics.update(_tm)
-                timer.mark('act')
+                if cfg.overlap_update:
+                    # pipelined: plan (1 dispatch + fetch), then the fused
+                    # sample+update dispatched ASYNC before the env step so
+                    # it overlaps host physics/rendering
+                    actions = self.agent.act_collect(obs, (t_in_ep == 0))
+                    timer.mark('act')
+                    train_metrics.update(
+                        self.agent.update_many_fused(self.buffer, n))
+                    timer.mark('update')
+                else:
+                    # one-dispatch megastep: plan + replay sample + n
+                    # updates fused (see TDMPC2.vec_step)
+                    actions, _tm = self.agent.vec_step(
+                        self.buffer, obs, (t_in_ep == 0), n)
+                    train_metrics.update(_tm)
+                    timer.mark('act')
             else:
                 if self._step > cfg.seed_steps:
                     actions = self.agent.act(obs, t0=(t_in_ep == 0))

@@ -110,6 +110,41 @@ def test_vec_step_single_update_per_step():
     tree_allclose(seq.state.params, fused.state.params)
 
 
+def test_update_many_fused_matches_update_many():
+    """In-jit replay draw (one dispatch) == sample_many + update scan."""
+    cfg = make_cfg()
+    seq, fused = TDMPC2(cfg), TDMPC2(cfg)
+    buf_seq, buf_fused = Buffer(cfg), Buffer(cfg)
+    fill(buf_seq)
+    fill(buf_fused)
+    for _ in range(2):
+        info_seq = seq.update_many(buf_seq, 3)
+        info_fused = fused.update_many_fused(buf_fused, 3)
+        np.testing.assert_allclose(
+            float(info_seq['total_loss']), float(info_fused['total_loss']),
+            rtol=2e-5, atol=1e-6)
+    tree_allclose(seq.state.params, fused.state.params)
+    assert buf_seq._draws == buf_fused._draws
+
+    # fleet analogue
+    fseq, ffused = FleetAgent(cfg, SEEDS), FleetAgent(cfg, SEEDS)
+    fb_seq, fb_fused = FleetBuffer(cfg, len(SEEDS)), \
+        FleetBuffer(cfg, len(SEEDS))
+    rng = np.random.default_rng(5)
+    for k in range(len(SEEDS)):
+        ep = make_episode(rng, EP_LEN + 1)
+        block = {key: v[None] for key, v in ep.items()}
+        block['valid_rows'] = np.asarray([EP_LEN + 1], np.int32)
+        fb_seq.add(k, {key: v.copy() for key, v in block.items()})
+        fb_fused.add(k, block)
+    i_seq = fseq.update_many(fb_seq, 2)
+    i_fused = ffused.update_many_fused(fb_fused, 2)
+    np.testing.assert_allclose(
+        float(i_seq['total_loss']), float(i_fused['total_loss']),
+        rtol=2e-5, atol=1e-6)
+    tree_allclose(fseq.state.params, ffused.state.params)
+
+
 def test_vec_step_host_buffer_fallback():
     cfg = make_cfg(buffer_device='host')
     agent = TDMPC2(cfg)
@@ -163,7 +198,7 @@ def test_vec_trainer_fused_equals_unfused(tmp_path):
     from tdmpc2_tpu.trainer import VecOnlineTrainer
     from tdmpc2_tpu.utils.logger import Logger
 
-    def run(fused, sub):
+    def run(fused, sub, overlap=True):
         cfg = parse_cfg(Config(task='toy-reach'))
         cfg.steps = 200
         cfg.eval_freq = 500  # no mid-run eval
@@ -183,6 +218,7 @@ def test_vec_trainer_fused_equals_unfused(tmp_path):
         cfg.save_video = False
         cfg.save_agent = False
         cfg.fused_step = fused
+        cfg.overlap_update = overlap
         cfg.work_dir = str(tmp_path / sub)
         env = make_env(cfg)
         cfg.seed_steps = 60
@@ -192,10 +228,14 @@ def test_vec_trainer_fused_equals_unfused(tmp_path):
         trainer.train()
         return agent
 
-    a_fused = run(True, 'fused')
+    a_pipe = run(True, 'pipe', overlap=True)
+    a_mega = run(True, 'mega', overlap=False)
     a_plain = run(False, 'plain')
-    assert a_fused._megastep_jit is not None  # fused path was exercised
-    tree_allclose(a_fused.state.params, a_plain.state.params,
+    assert a_mega._megastep_jit is not None   # megastep path was exercised
+    assert a_pipe._upd_fused_jit is not None  # pipelined path was exercised
+    tree_allclose(a_mega.state.params, a_plain.state.params,
+                  rtol=5e-5, atol=1e-5)
+    tree_allclose(a_pipe.state.params, a_plain.state.params,
                   rtol=5e-5, atol=1e-5)
 
 
@@ -265,7 +305,8 @@ def test_vec_trainer_fused_episodic(tmp_path):
     buffer = _Buffer(cfg)
     VecOnlineTrainer(cfg=cfg, env=env, agent=agent, buffer=buffer,
                      logger=Logger(cfg)).train()
-    assert agent._megastep_jit is not None  # fused path was exercised
+    assert (agent._upd_fused_jit is not None
+            or agent._megastep_jit is not None)  # a fused path was exercised
     assert buffer.num_eps >= 3
     term = np.asarray(buffer.sample()[3])
     assert np.isfinite(term).all() and term.min() >= 0.0
@@ -294,4 +335,5 @@ def test_fleet_trainer_fused_e2e(tmp_path):
                for k, s in enumerate(seeds)]
     FleetOnlineTrainer(cfg=cfg, env=env, agent=agent,
                        buffer=FleetBuffer(cfg, 3), loggers=loggers).train()
-    assert agent._step_jit is not None  # fused fleet path was exercised
+    assert (agent._upd_fused_jit is not None
+            or agent._step_jit is not None)  # a fused path was exercised

@@ -117,7 +117,8 @@ def test_pixel_vec_training_loop_fused(tmp_path):
     buffer = Buffer(cfg)
     VecOnlineTrainer(cfg=cfg, env=env, agent=agent, buffer=buffer,
                      logger=Logger(cfg)).train()
-    assert agent._megastep_jit is not None  # fused path was exercised
+    assert (agent._upd_fused_jit is not None
+            or agent._megastep_jit is not None)  # a fused path was exercised
     assert buffer.num_eps >= 3
     obs, *_ = buffer.sample()
     assert obs.dtype == np.float32 and obs.shape[2:] == (9, 32, 32)
