@@ -217,6 +217,8 @@ class FleetOnlineTrainer:
 
         from tdmpc2_tpu.utils.phase import PhaseTimer
         timer = PhaseTimer(steps_per_mark=N, suffix='env-steps/s per seed')
+        fused_ok = True   # trips false if the fused path fails on this
+        # backend (e.g. a kernel lowering error) -> unfused dispatches
 
         while self._step <= cfg.steps:
             if self._step >= next_eval_at:
@@ -233,30 +235,39 @@ class FleetOnlineTrainer:
                 t_in_ep = np.zeros(K * N, np.int64)
 
             timer.reset()
-            if (cfg.fused_step and pretrained
-                    and self._step > cfg.seed_steps
-                    and self.buffer.num_eps > 0):
-                if getattr(cfg, 'overlap_update', True):
-                    # pipelined: one plan dispatch for K*N envs (+ fetch),
-                    # then the fused K*N-update dispatched ASYNC before the
-                    # env step so it overlaps host physics
-                    actions = self.agent.act(
-                        self._obs_kn(obs),
-                        t0=(t_in_ep == 0).reshape(K, N)).reshape(K * N, -1)
-                    timer.mark('act')
-                    train_metrics.update(
-                        self.agent.update_many_fused(self.buffer, N))
-                    timer.mark('update')
-                else:
-                    # one-dispatch megastep: plan + sample + K*N updates
-                    # (see FleetAgent.step)
-                    actions, _tm = self.agent.step(
-                        self.buffer, self._obs_kn(obs),
-                        (t_in_ep == 0).reshape(K, N), N)
-                    actions = actions.reshape(K * N, -1)
-                    train_metrics.update(_tm)
-                    timer.mark('act')
-            else:
+            use_fused = (cfg.fused_step and fused_ok and pretrained
+                         and self._step > cfg.seed_steps
+                         and self.buffer.num_eps > 0)
+            if use_fused:
+                try:
+                    if getattr(cfg, 'overlap_update', True):
+                        # pipelined: one plan dispatch for K*N envs
+                        # (+ fetch), then the fused K*N-update dispatched
+                        # ASYNC before the env step (overlaps host physics)
+                        actions = self.agent.act(
+                            self._obs_kn(obs),
+                            t0=(t_in_ep == 0).reshape(K, N)).reshape(
+                            K * N, -1)
+                        timer.mark('act')
+                        train_metrics.update(
+                            self.agent.update_many_fused(self.buffer, N))
+                        timer.mark('update')
+                    else:
+                        # one-dispatch megastep: plan + sample + K*N
+                        # updates (see FleetAgent.step)
+                        actions, _tm = self.agent.step(
+                            self.buffer, self._obs_kn(obs),
+                            (t_in_ep == 0).reshape(K, N), N)
+                        actions = actions.reshape(K * N, -1)
+                        train_metrics.update(_tm)
+                        timer.mark('act')
+                except Exception as e:   # degrade, don't kill the run
+                    fused_ok = False
+                    use_fused = False
+                    print(f'[trainer] fused collection path failed '
+                          f'({type(e).__name__}: {e}); falling back to '
+                          'unfused dispatches')
+            if not use_fused:
                 if self._step > cfg.seed_steps:
                     actions = self.agent.act(
                         self._obs_kn(obs),

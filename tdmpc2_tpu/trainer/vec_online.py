@@ -111,6 +111,8 @@ class VecOnlineTrainer(OnlineTrainer):
 
         from tdmpc2_tpu.utils.phase import PhaseTimer
         timer = PhaseTimer(steps_per_mark=n)
+        fused_ok = True   # trips false if the fused path fails on this
+        # backend (e.g. a kernel lowering error) -> unfused dispatches
 
         while self._step <= cfg.steps:
             if self._step >= next_eval_at:
@@ -127,25 +129,34 @@ class VecOnlineTrainer(OnlineTrainer):
                 t_in_ep = np.zeros(n, np.int64)
 
             timer.reset()
-            if (cfg.fused_step and pretrained and self._step > cfg.seed_steps
-                    and self.buffer.num_eps > 0):
-                if cfg.overlap_update:
-                    # pipelined: plan (1 dispatch + fetch), then the fused
-                    # sample+update dispatched ASYNC before the env step so
-                    # it overlaps host physics/rendering
-                    actions = self.agent.act_collect(obs, (t_in_ep == 0))
-                    timer.mark('act')
-                    train_metrics.update(
-                        self.agent.update_many_fused(self.buffer, n))
-                    timer.mark('update')
-                else:
-                    # one-dispatch megastep: plan + replay sample + n
-                    # updates fused (see TDMPC2.vec_step)
-                    actions, _tm = self.agent.vec_step(
-                        self.buffer, obs, (t_in_ep == 0), n)
-                    train_metrics.update(_tm)
-                    timer.mark('act')
-            else:
+            use_fused = (cfg.fused_step and fused_ok and pretrained
+                         and self._step > cfg.seed_steps
+                         and self.buffer.num_eps > 0)
+            if use_fused:
+                try:
+                    if cfg.overlap_update:
+                        # pipelined: plan (1 dispatch + fetch), then the
+                        # fused sample+update dispatched ASYNC before the
+                        # env step so it overlaps host physics/rendering
+                        actions = self.agent.act_collect(obs, (t_in_ep == 0))
+                        timer.mark('act')
+                        train_metrics.update(
+                            self.agent.update_many_fused(self.buffer, n))
+                        timer.mark('update')
+                    else:
+                        # one-dispatch megastep: plan + replay sample + n
+                        # updates fused (see TDMPC2.vec_step)
+                        actions, _tm = self.agent.vec_step(
+                            self.buffer, obs, (t_in_ep == 0), n)
+                        train_metrics.update(_tm)
+                        timer.mark('act')
+                except Exception as e:   # degrade, don't kill the run
+                    fused_ok = False
+                    use_fused = False
+                    print(f'[trainer] fused collection path failed '
+                          f'({type(e).__name__}: {e}); falling back to '
+                          'unfused dispatches')
+            if not use_fused:
                 if self._step > cfg.seed_steps:
                     actions = self.agent.act(obs, t0=(t_in_ep == 0))
                 else:
