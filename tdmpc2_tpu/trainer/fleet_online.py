@@ -14,15 +14,17 @@ seed_steps pretrain burst at the first update, one gradient update per env
 step, episodes buffered with the NaN bootstrap row, per-env-slot episode
 boundaries (episodic tasks supported, like trainer/vec_online.py).
 
-Known deviation (episodic tasks only): updates are fused across seeds and
-gated on EVERY seed having replay data (buffer.num_eps is the min across
-seeds), so all seeds' gradient updates stall until the slowest seed finishes
-its first episode, and those skipped updates are not made up — the
-update:env-step ratio dips below the reference's 1:1 by up to one episode's
-worth of steps at the start of training. Fixed-length dm_control tasks
-finish episodes in lockstep and are unaffected. A per-seed catch-up would
-need ragged per-seed update counts inside the fused dispatch; not worth the
-complexity for a one-episode startup transient.
+Episodic tasks / resumed runs: updates are fused across seeds and gated on
+EVERY seed having replay data (buffer.num_eps is the min across seeds), so
+gradient updates stall until the slowest seed finishes its first episode —
+and on resume the buffer restarts empty, so every resumed session stalls
+for one episode too. Because the gate is the min across seeds, the stall is
+UNIFORM across seeds: the owed updates form one scalar deficit counter
+(`_update_deficit`, always a multiple of N). The trainer accrues it while
+the gate is closed and drains it at 2x rate once data exists — an extra
+same-shape fused dispatch per step, so no recompilation — restoring the
+reference's exact 1:1 update:env-step ratio (tdmpc2/trainer/
+online_trainer.py:107-116) within one episode of warmup.
 """
 
 from __future__ import annotations
@@ -47,6 +49,8 @@ class FleetOnlineTrainer:
               f'{single.model.total_params(single.state.params):,} '
               f'x {self.K} seeds')
         self._step = 0                            # per-seed env steps
+        self._n_updates = 0                       # per-seed gradient updates
+        self._update_deficit = 0                  # owed updates (multiple of N)
         self._ep_idx = np.zeros(self.K, np.int64)
         self._start_time = time()
         self._sps_anchor = 0
@@ -251,6 +255,12 @@ class FleetOnlineTrainer:
                         timer.mark('act')
                         train_metrics.update(
                             self.agent.update_many_fused(self.buffer, N))
+                        self._n_updates += N
+                        if self._update_deficit > 0:  # catch up at 2x rate
+                            train_metrics.update(
+                                self.agent.update_many_fused(self.buffer, N))
+                            self._update_deficit -= N
+                            self._n_updates += N
                         timer.mark('update')
                     else:
                         # one-dispatch megastep: plan + sample + K*N
@@ -260,6 +270,12 @@ class FleetOnlineTrainer:
                             (t_in_ep == 0).reshape(K, N), N)
                         actions = actions.reshape(K * N, -1)
                         train_metrics.update(_tm)
+                        self._n_updates += N
+                        if self._update_deficit > 0:  # catch up at 2x rate
+                            train_metrics.update(
+                                self.agent.update_many(self.buffer, N))
+                            self._update_deficit -= N
+                            self._n_updates += N
                         timer.mark('act')
                 except Exception as e:   # degrade, don't kill the run
                     fused_ok = False
@@ -278,19 +294,35 @@ class FleetOnlineTrainer:
 
                 # dispatch the fused K*N-update BEFORE stepping the envs: it
                 # consumes replay only, so host physics overlaps device time
-                if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
-                    if not pretrained:
-                        pretrained = True
-                        print('Pretraining agents on seed data...')
-                        for _ in range(cfg.seed_steps // N):
+                if self._step >= cfg.seed_steps:
+                    if self.buffer.num_eps > 0:
+                        if not pretrained:
+                            pretrained = True
+                            # owed updates accrued while the slowest seed
+                            # finished its first episode join the burst
+                            burst = cfg.seed_steps + self._update_deficit
+                            self._update_deficit = 0
+                            print('Pretraining agents on seed data '
+                                  f'({burst} updates/seed)...')
+                            for _ in range(burst // N):
+                                _tm = self.agent.update_many(self.buffer, N)
+                            if burst % N:
+                                _tm = self.agent.update_many(
+                                    self.buffer, burst % N)
+                            self._n_updates += burst
+                        else:
+                            # N updates/seed (1 per env step), one device call
                             _tm = self.agent.update_many(self.buffer, N)
-                        if cfg.seed_steps % N:
-                            _tm = self.agent.update_many(
-                                self.buffer, cfg.seed_steps % N)
+                            self._n_updates += N
+                            if self._update_deficit > 0:  # catch up at 2x
+                                _tm = self.agent.update_many(self.buffer, N)
+                                self._update_deficit -= N
+                                self._n_updates += N
+                        train_metrics.update(_tm)
                     else:
-                        # N updates/seed (1 per env step), one device call
-                        _tm = self.agent.update_many(self.buffer, N)
-                    train_metrics.update(_tm)
+                        # gate closed (no episode from the slowest seed yet,
+                        # or a resumed session's empty buffer): owe updates
+                        self._update_deficit += N
                 timer.mark('update')
 
             obs, rewards, dones, infos = self.env.step(actions)

@@ -4,6 +4,7 @@ and the end-to-end fleet loop must produce per-seed artifacts identical in
 layout to single-seed runs."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -146,6 +147,7 @@ def test_fleet_buffer_strict_length_and_wraparound():
     assert seen <= {2.0, 3.0, 4.0, 5.0}
 
 
+@pytest.mark.slow
 def test_fleet_train_loop_end_to_end(tmp_path, monkeypatch):
     """Two-seed toy fleet run exercising collection, the pretrain burst,
     fused updates, eval, and checkpointing: per-seed eval.csv + checkpoints
@@ -208,6 +210,56 @@ def test_fleet_train_loop_end_to_end(tmp_path, monkeypatch):
     assert tr2._step >= cfg.steps
     tree_allclose(agent2.seed_state(0).params, single.state.params,
                   rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_fleet_episodic_update_step_ratio(tmp_path, monkeypatch):
+    """Episodic fleet runs owe no updates once warmed up (VERDICT r3 #7).
+
+    Updates are gated on the min-across-seeds buffer fill, so every seed's
+    gradient updates stall until the slowest seed flushes its first episode.
+    The trainer must accrue that stall as a deficit and drain it (at 2x
+    rate / folded into the pretrain burst) so the session-total
+    update:env-step ratio returns to the reference's exact 1:1
+    (tdmpc2/trainer/online_trainer.py:107-116)."""
+    monkeypatch.chdir(tmp_path)
+    from tdmpc2_tpu.envs import make_fleet_env
+    from tdmpc2_tpu.trainer.fleet_online import FleetOnlineTrainer
+    from tdmpc2_tpu.utils.logger import Logger
+
+    cfg = parse_cfg(Config(task='toy-reach-episodic'))
+    cfg.episodic = True
+    cfg.steps = 200
+    cfg.eval_freq = 10 ** 9     # no eval interruptions
+    cfg.eval_episodes = 1
+    cfg.batch_size = 8
+    cfg.enc_dim = 32
+    cfg.mlp_dim = 32
+    cfg.latent_dim = 16
+    cfg.num_q = 2
+    cfg.num_samples = 16
+    cfg.num_elites = 4
+    cfg.num_pi_trajs = 2
+    cfg.iterations = 1
+    cfg.num_envs = 2
+    cfg.save_video = False
+    env = make_fleet_env(cfg, SEEDS)
+    # seed phase ends at step 20 = iteration 10, long before the first
+    # 50-step episode timeout -> a guaranteed gate-closed window in which
+    # updates are owed (episodes can also terminate early on success,
+    # staggering the per-seed flushes)
+    cfg.seed_steps = 20
+    agent = FleetAgent(cfg, SEEDS)
+    buffer = FleetBuffer(cfg, len(SEEDS))
+    loggers = [Logger(cfg.replace(seed=s, work_dir=str(agent.work_dir(k))))
+               for k, s in enumerate(SEEDS)]
+    trainer = FleetOnlineTrainer(cfg=cfg, env=env, agent=agent,
+                                 buffer=buffer, loggers=loggers)
+    trainer.train()
+    assert trainer._update_deficit == 0, 'owed updates were never made up'
+    # 1:1 after warmup: per-seed updates == per-seed env steps (the final
+    # loop iteration may end between the update and the env step)
+    assert abs(trainer._n_updates - trainer._step) <= cfg.num_envs
 
 
 def test_fleet_buffer_partial_flush_padded_block():
