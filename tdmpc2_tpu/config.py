@@ -146,6 +146,10 @@ class Config:
     # XLA matmul precision for f32 operands: 'default' (fast single-pass
     # bf16 on the MXU), 'high', or 'highest' (full f32, ~3-6x slower)
     matmul_precision: str = 'default'
+    # run the UPDATE path's MLP matmuls with bf16 operands (fp32 master
+    # weights + fp32 accumulation): halves the HBM weight/activation traffic
+    # of the bandwidth-bound training step; planner/acting stay fp32
+    bf16_update: bool = False
     # fused Pallas planner-rollout kernel (auto-gated: TPU backend +
     # single-task + non-episodic; falls back to the XLA scan otherwise)
     use_pallas: bool = True

@@ -97,18 +97,30 @@ def layer_norm(x, w, b, eps: float = 1e-5):
 # ---------------------------------------------------------------------------
 
 
-def linear_apply(p, x):
-    return x @ p['w'] + p['b']
+def linear_apply(p, x, dtype=None):
+    """y = x @ w + b. With `dtype` (e.g. bfloat16): cast both matmul operands
+    to `dtype` and accumulate in float32 (`preferred_element_type`) — the
+    MXU-native mixed-precision contraction. Master weights stay float32; the
+    casts are differentiable, so gradients flow back to the f32 params."""
+    if dtype is None:
+        return x @ p['w'] + p['b']
+    y = jax.lax.dot_general(
+        x.astype(dtype), p['w'].astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y + p['b']
 
 
 def normed_linear_apply(p, x, act: Callable = mish, dropout: float = 0.0,
-                        key=None, training: bool = False):
+                        key=None, training: bool = False, dtype=None):
     """Linear -> (Dropout) -> LayerNorm -> activation.
 
     Order matches the reference NormedLinear.forward (layers.py:107-111):
     dropout is applied to the linear output, *before* LayerNorm.
+    `dtype` selects the matmul compute precision (see linear_apply);
+    dropout, LayerNorm and the activation always run in float32.
     """
-    x = linear_apply(p, x)
+    x = linear_apply(p, x, dtype=dtype)
     if dropout > 0.0 and training:
         keep = 1.0 - dropout
         mask = jax.random.bernoulli(key, keep, x.shape)
@@ -138,19 +150,21 @@ def mlp_init(key, in_dim: int, mlp_dims: Sequence[int], out_dim: int,
 
 
 def mlp_apply(params, x, final_act: Optional[Callable] = None,
-              dropout: float = 0.0, key=None, training: bool = False):
+              dropout: float = 0.0, key=None, training: bool = False,
+              dtype=None):
     """Apply the MLP. Dropout (if any) is applied on the first layer only,
-    matching reference layers.py:131 (`dropout*(i==0)`)."""
+    matching reference layers.py:131 (`dropout*(i==0)`). `dtype` selects the
+    matmul compute precision for every layer (see linear_apply)."""
     for i, p in enumerate(params[:-1]):
         x = normed_linear_apply(
             p, x,
             dropout=dropout if i == 0 else 0.0,
-            key=key, training=training)
+            key=key, training=training, dtype=dtype)
     last = params[-1]
     if 'ln_w' in last:
-        x = normed_linear_apply(last, x, act=final_act or mish)
+        x = normed_linear_apply(last, x, act=final_act or mish, dtype=dtype)
     else:
-        x = linear_apply(last, x)
+        x = linear_apply(last, x, dtype=dtype)
         if final_act is not None:
             x = final_act(x)
     return x

@@ -31,8 +31,14 @@ from tdmpc2_tpu.ops import math
 class WorldModel:
     """Stateless apply-function namespace; all params are explicit."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, compute_dtype=None):
+        """`compute_dtype` (e.g. jnp.bfloat16) selects the matmul compute
+        precision for every MLP head (fp32 master weights + fp32
+        accumulation, layers.linear_apply). The agent builds a second
+        bf16-compute view of the same params for the update path when
+        cfg.bf16_update is set; planner/acting keep full fp32."""
         self.cfg = cfg
+        self.compute_dtype = compute_dtype
         if cfg.multitask:
             # mask[i, :action_dims[i]] = 1 (reference world_model.py:22-24)
             masks = np.zeros((len(cfg.tasks), cfg.action_dim), np.float32)
@@ -136,7 +142,8 @@ class WorldModel:
             return layers.conv_encoder_apply(enc, obs, cfg.simnorm_dim, key=key)
         return layers.mlp_apply(
             params['encoder']['state'], obs,
-            final_act=lambda x: layers.simnorm(x, cfg.simnorm_dim))
+            final_act=lambda x: layers.simnorm(x, cfg.simnorm_dim),
+            dtype=self.compute_dtype)
 
     def next(self, params, z, a, task=None):
         """Latent dynamics (reference world_model.py:114-121)."""
@@ -145,20 +152,23 @@ class WorldModel:
         za = jnp.concatenate([z, a], axis=-1)
         return layers.mlp_apply(
             params['dynamics'], za,
-            final_act=lambda x: layers.simnorm(x, self.cfg.simnorm_dim))
+            final_act=lambda x: layers.simnorm(x, self.cfg.simnorm_dim),
+            dtype=self.compute_dtype)
 
     def reward(self, params, z, a, task=None):
         """Reward logits (reference world_model.py:123-130)."""
         if self.cfg.multitask:
             z = self.task_emb(params, z, task)
         za = jnp.concatenate([z, a], axis=-1)
-        return layers.mlp_apply(params['reward'], za)
+        return layers.mlp_apply(params['reward'], za,
+                                dtype=self.compute_dtype)
 
     def termination(self, params, z, task=None, unnormalized: bool = False):
         """Termination probability/logit (reference world_model.py:132-141)."""
         if self.cfg.multitask:
             z = self.task_emb(params, z, task)
-        logit = layers.mlp_apply(params['termination'], z)
+        logit = layers.mlp_apply(params['termination'], z,
+                                 dtype=self.compute_dtype)
         return logit if unnormalized else jax.nn.sigmoid(logit)
 
     def pi(self, params, z, key, task=None):
@@ -170,7 +180,7 @@ class WorldModel:
         cfg = self.cfg
         if cfg.multitask:
             z = self.task_emb(params, z, task)
-        out = layers.mlp_apply(params['pi'], z)
+        out = layers.mlp_apply(params['pi'], z, dtype=self.compute_dtype)
         mean, lstd = jnp.split(out, 2, axis=-1)
         lstd = math.log_std(lstd, self.log_std_min, self.log_std_dif)
         eps = jax.random.normal(key, mean.shape, mean.dtype)
@@ -223,10 +233,12 @@ class WorldModel:
             member_keys = jax.random.split(dropout_key, cfg.num_q)
             out = jax.vmap(
                 lambda p, k: layers.mlp_apply(
-                    p, za, dropout=cfg.dropout, key=k, training=True)
+                    p, za, dropout=cfg.dropout, key=k, training=True,
+                    dtype=self.compute_dtype)
             )(qp, member_keys)
         else:
-            out = jax.vmap(lambda p: layers.mlp_apply(p, za))(qp)
+            out = jax.vmap(lambda p: layers.mlp_apply(
+                p, za, dtype=self.compute_dtype))(qp)
 
         if return_type == 'all':
             return out

@@ -21,6 +21,7 @@ HBM.
 
 from __future__ import annotations
 
+import gzip
 import pickle
 from functools import partial
 from pathlib import Path
@@ -76,6 +77,11 @@ class TDMPC2:
         # agent so cfg is not mutated by construction.
         self.iterations = cfg.iterations + 2 * int(cfg.action_dim >= 20)
         self.model = WorldModel(cfg)
+        # bf16-compute view of the same params for the update path only
+        # (cfg.bf16_update): halves HBM weight/activation traffic of the
+        # bandwidth-bound training step; planner/acting keep fp32 compute
+        self.model_upd = (WorldModel(cfg, compute_dtype=jnp.bfloat16)
+                          if cfg.bf16_update else self.model)
 
         # Fused Pallas rollout for the planner's value estimate: keeps the
         # dynamics+reward MLP weights VMEM-resident across the horizon
@@ -290,6 +296,11 @@ class TDMPC2:
                 str(Path(str(fp)).absolute()))
         else:
             with open(fp, 'rb') as f:
+                magic = f.read(2)
+            # gzip-sniff: stripped policy artifacts (scripts/
+            # strip_checkpoint.py) are gzipped pickles
+            opener = gzip.open if magic == b'\x1f\x8b' else open
+            with opener(str(fp), 'rb') as f:
                 blob = pickle.load(f)
         model = blob.get('model', blob)
         if isinstance(model, dict) and any(
@@ -304,9 +315,14 @@ class TDMPC2:
             return {}
         if isinstance(blob.get('arch'), dict):
             self._check_arch(blob['arch'])
-        params = jax.tree.map(jnp.asarray, blob['model'])
+
+        def _asarray(x):
+            # stripped policy artifacts store bf16 weights; train/act in fp32
+            x = jnp.asarray(x)
+            return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+        params = jax.tree.map(_asarray, blob['model'])
         target = jax.tree.map(
-            jnp.asarray, blob.get('target_Qs', params['Qs']))
+            _asarray, blob.get('target_Qs', params['Qs']))
         st = self.state
         updates = dict(params=params, target_Qs=target)
         if 'opt_state' in blob:
@@ -822,12 +838,12 @@ class TDMPC2:
     def _td_target(self, params, target_Qs, next_z, reward, terminated, task, key):
         """Min-Q TD target under stop-gradient (reference tdmpc2.py:241-257)."""
         k_pi, k_q = jax.random.split(key)
-        action, _ = self.model.pi(params, next_z, k_pi, task)
+        action, _ = self.model_upd.pi(params, next_z, k_pi, task)
         if self.cfg.multitask:
             discount = self.discount[task][..., None]
         else:
             discount = self.discount
-        q = self.model.Q(params, next_z, action, key=k_q, task=task,
+        q = self.model_upd.Q(params, next_z, action, key=k_q, task=task,
                          return_type='min', target_params=target_Qs)
         return reward + discount * (1.0 - terminated) * q
 
@@ -844,7 +860,7 @@ class TDMPC2:
         # -- targets (no grad) -- reference tdmpc2.py:261-263
         enc_key = k_enc_next if cfg.obs == 'rgb' else None
         next_z = jax.lax.stop_gradient(
-            self.model.encode(state.params, obs[1:], task, key=enc_key))
+            self.model_upd.encode(state.params, obs[1:], task, key=enc_key))
         td_targets = jax.lax.stop_gradient(
             self._td_target(state.params, state.target_Qs, next_z,
                             reward, terminated, task, k_td))
@@ -852,10 +868,10 @@ class TDMPC2:
         # -- model loss -- reference tdmpc2.py:268-304
         def loss_fn(params):
             enc0_key = k_enc0 if cfg.obs == 'rgb' else None
-            z0 = self.model.encode(params, obs[0], task, key=enc0_key)
+            z0 = self.model_upd.encode(params, obs[0], task, key=enc0_key)
 
             def rollout(z, a_t):
-                z_next = self.model.next(params, z, a_t, task)
+                z_next = self.model_upd.next(params, z, a_t, task)
                 return z_next, z_next
 
             _, zs_pred = jax.lax.scan(rollout, z0, action)   # [T, B, L]
@@ -864,9 +880,9 @@ class TDMPC2:
             zs = jnp.concatenate([z0[None], zs_pred], axis=0)  # [T+1, B, L]
 
             _zs = zs[:-1]
-            qs = self.model.Q(params, _zs, action, task=task,
+            qs = self.model_upd.Q(params, _zs, action, task=task,
                               return_type='all', dropout_key=k_drop)
-            reward_preds = self.model.reward(params, _zs, action, task)
+            reward_preds = self.model_upd.reward(params, _zs, action, task)
 
             reward_loss = jnp.sum(jnp.mean(
                 math.soft_ce(reward_preds, reward,
@@ -881,7 +897,7 @@ class TDMPC2:
             reward_loss = reward_loss / T
             value_loss = value_loss / (T * cfg.num_q)
             if cfg.episodic:
-                term_logit = self.model.termination(
+                term_logit = self.model_upd.termination(
                     params, zs[1:], task, unnormalized=True)
                 termination_loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
                     term_logit, terminated))
@@ -910,8 +926,8 @@ class TDMPC2:
 
         def pi_loss_fn(pi_params):
             p = dict(new_params, pi=pi_params)
-            a_pi, info = self.model.pi(p, zs, k_pi_upd, task)
-            qs_pi = self.model.Q(p, zs, a_pi, key=k_pi_q, task=task,
+            a_pi, info = self.model_upd.pi(p, zs, k_pi_upd, task)
+            qs_pi = self.model_upd.Q(p, zs, a_pi, key=k_pi_q, task=task,
                                  return_type='avg', detach=True,
                                  dropout_key=k_pi_drop)
             # running-scale update on the t=0 slice (reference scale.py:39-42,
