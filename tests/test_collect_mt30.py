@@ -8,6 +8,10 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+
+pytestmark = pytest.mark.slow  # subprocess collector run
 
 REPO = Path(__file__).resolve().parent.parent
 

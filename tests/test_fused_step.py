@@ -8,6 +8,7 @@ under fused_step=true and fused_step=false.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -18,6 +19,9 @@ from tdmpc2_tpu.fleet import FleetAgent
 from tdmpc2_tpu.tdmpc2 import TDMPC2
 
 OBS_DIM, ACT_DIM, EP_LEN = 6, 2, 20
+
+pytestmark = pytest.mark.slow  # fused-step equivalence sweeps
+
 SEEDS = [3, 7]
 
 

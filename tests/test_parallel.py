@@ -13,6 +13,9 @@ from tdmpc2_tpu.config import Config, parse_cfg
 from tdmpc2_tpu.tdmpc2 import TDMPC2
 
 
+
+pytestmark = pytest.mark.slow  # sharded update steps + 2-process gloo
+
 def test_parse_mesh_shape():
     assert parallel.parse_mesh_shape(None, 8) == (4, 2)
     assert parallel.parse_mesh_shape(None, 1) == (1, 1)

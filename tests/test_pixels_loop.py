@@ -2,6 +2,7 @@
 buffer, conv encoder + ShiftAug, planner and update (SURVEY.md §7 step 7)."""
 
 import numpy as np
+import pytest
 
 from tdmpc2_tpu.config import Config, parse_cfg
 from tdmpc2_tpu.data.buffer import Buffer
@@ -10,6 +11,9 @@ from tdmpc2_tpu.tdmpc2 import TDMPC2
 from tdmpc2_tpu.trainer import OnlineTrainer
 from tdmpc2_tpu.utils.logger import Logger
 
+
+
+pytestmark = pytest.mark.slow  # pixel training loop e2e
 
 class _FakePixelEnv(Env):
     """3-frame-stacked 32x32 RGB obs (channel-first uint8, the DMControl

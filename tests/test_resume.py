@@ -12,6 +12,9 @@ from tdmpc2_tpu.trainer import OnlineTrainer
 from tdmpc2_tpu.utils.logger import Logger
 
 
+
+pytestmark = pytest.mark.slow  # checkpoint/resume loops
+
 def _cfg(tmp_path, **kw):
     cfg = Config(task='toy-reach', batch_size=8, latent_dim=16, mlp_dim=32,
                  enc_dim=32, num_q=2, num_bins=5, num_samples=16,

@@ -12,6 +12,9 @@ from tdmpc2_tpu.trainer import OnlineTrainer
 from tdmpc2_tpu.utils.logger import Logger
 
 
+
+pytestmark = pytest.mark.slow  # online training loop e2e
+
 def small_cfg(tmp_path, **kw):
     cfg = parse_cfg(Config(task='toy-reach'))
     cfg.steps = 220
