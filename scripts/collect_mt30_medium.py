@@ -159,6 +159,7 @@ def main():
             if len(buf) >= args.chunk_eps:
                 flush()
     flush()
+    Path(args.out, '.complete').touch()  # queue scripts gate on this
     print(f'done: {n_total} episodes -> {args.out} '
           f'in {time.time() - t_start:.0f}s')
     for t in tasks:
