@@ -41,10 +41,14 @@ NOISE_CYCLE = [0.0, 0.1, 0.3, None, 0.05, 0.2, 0.5, None]
 
 
 def find_checkpoints(task: str) -> list:
-    """Stripped committed artifacts first, then live log checkpoints."""
-    cands = sorted(Path('results/checkpoints').glob(f'{task}-s*.pkl.gz'))
-    cands += sorted(Path('logs').glob(f'{task}/*/*/models/latest.pkl'))
-    return cands
+    """One checkpoint per seed: stripped committed artifacts win over live
+    log checkpoints (they are the same weights when both exist)."""
+    by_seed = {}
+    for fp in sorted(Path('logs').glob(f'{task}/*/*/models/latest.pkl')):
+        by_seed[fp.parts[1 + fp.parts.index(task)]] = fp
+    for fp in sorted(Path('results/checkpoints').glob(f'{task}-s*.pkl.gz')):
+        by_seed[fp.stem.rsplit('-s', 1)[1].split('.')[0]] = fp
+    return [by_seed[s] for s in sorted(by_seed)]
 
 
 def main():
