@@ -72,7 +72,17 @@ def conv_init(key, kh: int, kw: int, in_ch: int, out_ch: int, dtype=jnp.float32)
 
 
 def mish(x):
-    return x * jnp.tanh(jax.nn.softplus(x))
+    """x * tanh(softplus(x)) via the identity tanh(log z) = (z²-1)/(z²+1)
+    with z = 1 + eˣ: ONE exp + one reciprocal instead of three
+    transcendentals (exp, log1p, tanh). The planner's per-step activations
+    are VPU-transcendental-bound on TPU (docs/PERFORMANCE.md), so the
+    activation is the hot elementwise op. Algebraically exact; the exp
+    argument is clamped at 15 — the ratio is already 1.0 in f32 beyond x~8.7, the
+    derivative correctly saturates to 1, and the clamp keeps the autodiff
+    quotient-rule intermediates (~2z³) far from f32 overflow."""
+    z = jnp.exp(jnp.minimum(x, 15.0)) + 1.0
+    z2 = z * z
+    return x * (z2 - 1.0) / (z2 + 1.0)
 
 
 def simnorm(x, dim: int):

@@ -34,7 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mish(x):
-    return x * jnp.tanh(jax.nn.softplus(x))
+    # x * tanh(softplus(x)) with one exp instead of three transcendentals
+    # (see models/layers.py mish — same identity, kept in sync)
+    z = jnp.exp(jnp.minimum(x, 15.0)) + 1.0
+    z2 = z * z
+    return x * (z2 - 1.0) / (z2 + 1.0)
 
 
 def _ln(x, w, b, eps=1e-5):

@@ -91,3 +91,26 @@ def test_shift_aug_is_integer_shift():
     xp = np.pad(np.asarray(x), ((0, 0), (2, 2), (2, 2), (0, 0)), mode='edge')
     for n in range(2):
         assert np.all(np.isin(np.asarray(y)[n], xp[n]))
+
+
+def test_fast_mish_matches_analytic_form():
+    """mish is implemented via tanh(log z) = (z2-1)/(z2+1), z = 1 + e^x
+    (one exp instead of three transcendentals — the planner is VPU-
+    transcendental-bound). Values AND gradients must match the analytic
+    x*tanh(softplus(x)) across the full range including the clamp region
+    (the clamp at 15 guards autodiff quotient-rule intermediates ~2z^3
+    from f32 overflow, which corrupted grads for x in (22, 30) at clamp 30)."""
+    import numpy as np
+
+    def analytic(x):
+        return x * jnp.tanh(jax.nn.softplus(x))
+
+    x = jnp.asarray(np.concatenate(
+        [np.linspace(-60, 60, 6001), [-1e4, -88, 8.7, 15.0, 30.0, 1e4]]),
+        jnp.float32)
+    v, vr = L.mish(x), analytic(x)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-5)
+    g = jax.vmap(jax.grad(L.mish))(x)
+    gr = jax.vmap(jax.grad(analytic))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-5)
