@@ -28,9 +28,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_cfg(size: int, batch: int):
+def build_cfg(size: int, batch: int, bf16: bool = False):
     from tdmpc2_tpu.config import Config, parse_cfg
-    cfg = Config(task='mt30', model_size=size, batch_size=batch)
+    cfg = Config(task='mt30', model_size=size, batch_size=batch,
+                 bf16_update=bf16)
     cfg = parse_cfg(cfg)
     # env-derived fields, mt30 geometry (padded obs / action dims as
     # make_multitask_env would produce; reference envs/__init__.py:37-55)
@@ -43,12 +44,12 @@ def build_cfg(size: int, batch: int):
     return cfg
 
 
-def bench_size(size: int, batch: int, chunk: int, mesh=None):
+def bench_size(size: int, batch: int, chunk: int, mesh=None, bf16=False):
     import jax
     import jax.numpy as jnp
     from tdmpc2_tpu.tdmpc2 import TDMPC2
 
-    cfg = build_cfg(size, batch)
+    cfg = build_cfg(size, batch, bf16)
     agent = TDMPC2(cfg, mesh=mesh)
     n_params = sum(int(np.prod(np.shape(l)))
                    for l in jax.tree.leaves(agent.state.params))
@@ -110,6 +111,8 @@ def main():
     ap.add_argument('--platform', default=None)
     ap.add_argument('--mesh', default=None,
                     help="e.g. 4x2 (data x model) on the virtual CPU mesh")
+    ap.add_argument('--bf16', action='store_true',
+                    help='bf16-compute update path (cfg.bf16_update)')
     args = ap.parse_args()
 
     import jax
@@ -123,10 +126,11 @@ def main():
           f'{f" mesh={args.mesh}" if args.mesh else ""}', file=sys.stderr)
 
     for size in args.sizes:
-        r = bench_size(size, args.batch, args.chunk, mesh)
+        r = bench_size(size, args.batch, args.chunk, mesh, args.bf16)
         fused = (f'{r["fused_updates_per_s"]:8.1f}'
                  if r['fused_updates_per_s'] else '     n/a')
-        print(f'mt30 {size:>3}M: {r["params"]/1e6:7.1f}M params  '
+        tag = ' bf16' if args.bf16 else ''
+        print(f'mt30 {size:>3}M{tag}: {r["params"]/1e6:7.1f}M params  '
               f'state {r["state_gb"]:5.2f} GiB  '
               f'update {r["updates_per_s"]:8.1f}/s  '
               f'fused(x{args.chunk}) {fused}/s')
