@@ -80,7 +80,11 @@ def _op_table(xplane_path, top=12):
             continue
     rows.sort(key=lambda x: -x[2])
     total = sum(r[2] for r in rows)
-    return rows[:top], total
+    by_cat = {}
+    for _, cat, us in rows:
+        by_cat[cat] = by_cat.get(cat, 0.0) + us
+    cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
+    return rows[:top], total, cats
 
 
 def main():
@@ -127,6 +131,29 @@ def main():
         jax.block_until_ready(chain(agent.state.params, obs, pm0, key0, prep))
     programs['plan_chain_20'] = _trace(run_chain, 'plan', root)
 
+    # -- the same chain on the pure-XLA planner: the Pallas CEM kernel is one
+    # opaque custom-call in HLO stats, so this variant is where the planner's
+    # per-op time actually becomes visible (both modes measure within 0.5%
+    # of each other, docs/PERFORMANCE.md "Kernels").
+    cfg_x = cfg.replace(use_pallas=False)
+    agent_x = TDMPC2(cfg_x)
+    prep_x = agent_x._cached_prep(None)
+
+    def plan_chain_x(params, obs, pm, k, prep):
+        def body(carry, _):
+            pm, k = carry
+            a, pm, k = agent_x._plan(params, obs, pm, t0, k, None, prep,
+                                     eval_mode=False)
+            return (pm, k), a
+        (pm, k), actions = jax.lax.scan(body, (pm, k), None, length=20)
+        return actions[-1]
+    chain_x = jax.jit(plan_chain_x)
+
+    def run_chain_x():
+        jax.block_until_ready(
+            chain_x(agent_x.state.params, obs, pm0, key0, prep_x))
+    programs['plan_chain_20_xla'] = _trace(run_chain_x, 'plan_xla', root)
+
     # -- one training update (per-call executable, batch 256)
     batch = (
         jnp.asarray(rng.standard_normal((T + 1, B, obs_dim)), jnp.float32),
@@ -157,13 +184,23 @@ def main():
              'program. Device rows exist only on TPU/GPU traces — a CPU run',
              'validates the pipeline but reports empty tables.', '']
     for name, path in programs.items():
-        rows_, total = _op_table(path, args.top)
+        rows_, total, cats = _op_table(path, args.top)
         lines.append(f'## {name} — total self time {total / 1e3:.2f} ms')
         lines.append('')
         if not rows_:
             lines.append('(no device HLO rows in this trace)')
             lines.append('')
             continue
+        lines.append('By category (sums to 100% of device self time):')
+        lines.append('')
+        lines.append('| category | self us | % |')
+        lines.append('|---|---|---|')
+        for cat, us in cats:
+            lines.append(f'| {cat[:32]} | {us:.0f} | '
+                         f'{100 * us / max(total, 1e-9):.1f} |')
+        lines.append('')
+        lines.append(f'Top {len(rows_)} ops:')
+        lines.append('')
         lines.append('| HLO op | category | self us | % |')
         lines.append('|---|---|---|---|')
         for op, typ, us in rows_:
