@@ -4,18 +4,25 @@
 # (scripts/bench_update_variants.py + bench_mt_update.py). r4d's profile
 # slot already landed docs/PROFILE_r4.md; every other slot moved here.
 #
+# Takes over from the r4c follower (stopped via its sentinel after the
+# reacher-easy slot; r4c had no pixels, no collector and a stale re-profile
+# slot). Waits for .queue_r4c_done before touching the chip.
+#
 # Slot plan (deadline-capped; run() skips when <10 min remain):
-#   1. cup-catch fleet resume 150k -> 400k
-#   2. pendulum-swingup fleet 400k      } fresh breadth tasks, num_envs=12
-#   3. reacher-easy fleet 400k          } (36-env act amortizes the ~68 ms
-#   4. pixels slot A: walker rgb resume 150k -> 1M, capped 2h  (hedge: run
-#      some pixels early in case later slots overrun)
-#   5. hopper-stand fleet 400k
-#   6. cartpole-swingup fleet 400k; then kick off the CPU mt30-medium
-#      collector in the background (uses every checkpoint landed so far)
-#   7. cheetah-run fleet seeds 2,3 -> 600k (10th 3-seed task)
-#   8. mt30 offline 19M then 48M on the medium dataset
-#   9. pixels slot B: walker rgb resume, all remaining time
+#   0. (CPU, immediate) mt30-medium collector on the checkpoints already
+#      landed (cup-catch ~200k, pendulum ~320k, reacher ~380k, acrobot 600k,
+#      finger 400k + random fill) so the mt30 slots have data mid-queue
+#   1. walker-walk PIXELS, FRESH run r4px2 to 1M: the fast-render change
+#      (shadows/reflections off at 64px: env 100.6 -> 24.6 ms per 8-step;
+#      envs/dmcontrol.py render fast=True) makes a full 1M run ~2.5 h at
+#      num_envs=16. Fresh instead of resuming r4px so the encoder never
+#      sees a shadow-on -> shadow-off visual distribution shift.
+#   2-4. top-ups to 400k: cup-catch, pendulum-swingup, reacher-easy
+#   5. hopper-stand fleet 400k          } fresh breadth tasks, num_envs=12
+#   6. cartpole-swingup fleet 400k      } (36-env act amortizes the RTT)
+#   7. mt30 offline 19M then 48M on the medium dataset
+#   8. cheetah-run fleet seeds 2,3 -> 600k (10th 3-seed task)
+#   9. second pixel task: cheetah-run rgb seed 1, all remaining time
 #
 # Results/docs are git-committed after each export so a container reset or
 # session stall cannot orphan curves (ADVICE r3 / CLAUDE.md discipline).
@@ -97,39 +104,40 @@ fleet_slot() {  # fleet_slot <task> <steps> <tmo> <seeds-csv> <nv>
   commit_results "results: $task fleet curves (r4 queue)"
 }
 
-pixels_slot() {  # pixels_slot <name> <tmo>
-  local name=$1 tmo=$2
-  start_exporter walker-walk r4px tdmpc2_tpu-pixels 1
-  run "$name" "$tmo" python train.py task=walker-walk obs=rgb seed=1 \
+pixels_slot() {  # pixels_slot <name> <task> <exp> <tmo>
+  local name=$1 task=$2 exp=$3 tmo=$4
+  start_exporter "$task" "$exp" tdmpc2_tpu-pixels 1
+  run "$name" "$tmo" python train.py task="$task" obs=rgb seed=1 \
     steps=1000000 num_envs=16 eval_freq=50000 eval_episodes=10 \
-    buffer_device=device exp_name=r4px resume=true
+    buffer_device=device exp_name="$exp" resume=true
   stop_exporter
-  export_task walker-walk r4px tdmpc2_tpu-pixels 1
-  commit_results "results: walker-walk pixels curve ($name)"
+  export_task "$task" "$exp" tdmpc2_tpu-pixels 1
+  commit_results "results: $task pixels curve ($name)"
 }
 
-# 1. cup-catch resume 150k -> 400k
-fleet_slot cup-catch 400000 3900 1,2,3 12
-
-# 2-3. fresh breadth tasks
-fleet_slot pendulum-swingup 400000 4800 1,2,3 12
-fleet_slot reacher-easy 400000 4800 1,2,3 12
-
-# 5. pixels slot A (capped 2h; resume-capable)
-pixels_slot walker_rgb_a 7200
-
-# 6-7. more breadth; collector kicks off after cartpole-swingup lands
-fleet_slot hopper-stand 400000 4800 1,2,3 12
-fleet_slot cartpole-swingup 400000 4800 1,2,3 12
+# 0. CPU collector immediately (niced; never touches the chip)
 setsid nice -n 19 python scripts/collect_mt30_medium.py \
   --episodes-per-task 40 --out datasets/mt30_medium --nice 19 \
   > /tmp/q_mt30_collect.log 2>&1 &
 log "mt30 medium collector launched on CPU (pid $!)"
 
-# 8. cheetah seeds 2,3 -> 600k
-fleet_slot cheetah-run 600000 5700 2,3 12
+# wait for the r4c follower to drain (it owns the chip until then)
+while [ ! -f .queue_r4c_done ]; do sleep 30; done
+log "r4c drained; starting r4e"
 
-# 9. mt30 offline 19M + 48M on the medium dataset
+# 1. walker pixels FRESH r4px2 to 1M with the fast renderer
+pixels_slot walker_rgb walker-walk r4px2 10800
+
+# 2-4. top-ups to 400k (r4c's 3600s slots all hit rc=124 short of 400k)
+fleet_slot cup-catch 400000 2700 1,2,3 12
+fleet_slot pendulum-swingup 400000 2100 1,2,3 12
+fleet_slot reacher-easy 400000 2100 1,2,3 12
+
+# 5-6. fresh breadth tasks
+fleet_slot hopper-stand 400000 4800 1,2,3 12
+fleet_slot cartpole-swingup 400000 4800 1,2,3 12
+
+# 7. mt30 offline 19M + 48M on the medium dataset
 for _ in $(seq 1 30); do
   [ -f datasets/mt30_medium/.complete ] && break
   sleep 30
@@ -159,7 +167,11 @@ else
   log "no medium dataset; skipping mt30 slots"
 fi
 
-# 10. pixels slot B: everything that remains
-pixels_slot walker_rgb_b $(( DEADLINE - $(date +%s) ))
+# 8. cheetah seeds 2,3 -> 600k (10th 3-seed task)
+fleet_slot cheetah-run 600000 4800 2,3 12
+
+# 9. second pixel task with everything that remains (VERDICT r3 #2:
+# "a second pixel task underway"); resume-capable across sessions
+pixels_slot cheetah_rgb cheetah-run r4px2 $(( DEADLINE - $(date +%s) ))
 
 log "queue r4e drained"

@@ -73,9 +73,16 @@ class DMControlAdapter(Env):
             reward += ts.reward
         return self._flatten(ts.observation), reward, False, {}
 
-    def render(self, width=384, height=384, camera_id=None):
+    def render(self, width=384, height=384, camera_id=None, fast=False):
+        """`fast=True` drops shadows/reflections — on this host's software
+        GL they dominate the scene cost (17.6 -> 6.0 ms at 64px, measured
+        walker 2026-08-19), and at 64px they carry ~no signal. Used by the
+        PixelObs policy-observation path; video recording keeps defaults."""
+        kw = (dict(render_flag_overrides=dict(shadow=False, reflection=False))
+              if fast else {})
         return self._env.physics.render(
-            height, width, camera_id if camera_id is not None else self.camera_id)
+            height, width, camera_id if camera_id is not None else self.camera_id,
+            **kw)
 
 
 class PixelObs(Wrapper):
@@ -91,7 +98,7 @@ class PixelObs(Wrapper):
 
     def _obs(self, reset=False):
         frame = self.env.render(
-            width=self._size, height=self._size).transpose(2, 0, 1)
+            width=self._size, height=self._size, fast=True).transpose(2, 0, 1)
         for _ in range(self._frames.maxlen if reset else 1):
             self._frames.append(frame)
         return np.concatenate(self._frames)
