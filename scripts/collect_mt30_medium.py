@@ -90,11 +90,18 @@ def main():
             ags = []
             for fp in ckpts:
                 a = TDMPC2(cfg)
-                extra = a.load(fp)
+                try:
+                    extra = a.load(fp)
+                except (ValueError, KeyError) as e:
+                    # e.g. a pixels (rgb) checkpoint of the same task — not
+                    # usable for state-mode collection; fall back to random
+                    print(f'{t}: skipping {fp}: {e}', flush=True)
+                    continue
                 ags.append(a)
                 print(f'{t}: policy from {fp} '
                       f'(step {extra.get("step", "?")})', flush=True)
-            agents[t] = ags
+            if ags:
+                agents[t] = ags
     obs_dim = max(e.observation_space.shape[0] for e in envs.values())
     act_dim = max(e.action_space.shape[0] for e in envs.values())
     rows = max(e.max_episode_steps for e in envs.values()) + 1
