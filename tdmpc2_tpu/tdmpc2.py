@@ -693,7 +693,18 @@ class TDMPC2:
         sequential `update()` calls (tested: tests/test_agent.py); the draw
         stream differs from n separate `sample()` calls because all n batches
         come from one `sample_many` draw. Amortizes per-dispatch overhead for
-        batched collection and offline training; no reference counterpart."""
+        batched collection and offline training; no reference counterpart.
+
+        cfg.update_chunk caps the updates fused per dispatch (each fused
+        update materializes its replay batch in HBM — pixel batches are
+        ~151 MB f32 apiece, and n=16 next to the 12.3 GB device ring OOMed
+        a 16 GB v5e); larger n runs as ceil(n/chunk) sequential dispatches."""
+        chunk = self.cfg.get('update_chunk', 0)
+        if chunk and n > chunk:
+            info = None
+            for m in range(0, n, chunk):
+                info = self.update_many(buffer, min(chunk, n - m))
+            return info
         if n == 1:
             return self.update(buffer)
         batch = buffer.sample_many(n)
@@ -794,7 +805,16 @@ class TDMPC2:
         are exactly `update_many`'s (tested: tests/test_fused_step.py).
         Used by the pipelined collection schedule: the trainer dispatches
         this asynchronously right after the action fetch, so the update
-        executes on device while the host steps physics."""
+        executes on device while the host steps physics.
+
+        cfg.update_chunk caps the fused scan length exactly as in
+        `update_many` (the in-jit draw also materializes all n batches)."""
+        chunk = self.cfg.get('update_chunk', 0)
+        if chunk and n > chunk:
+            info = None
+            for m in range(0, n, chunk):
+                info = self.update_many_fused(buffer, min(chunk, n - m))
+            return info
         if (self.cfg.multitask or self.mesh is not None
                 or not getattr(buffer, '_on_device', False)):
             return self.update_many(buffer, n)

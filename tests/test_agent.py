@@ -243,3 +243,34 @@ def test_update_many_matches_sequential_updates():
                                np.asarray(st_fused.scale), rtol=1e-5)
     # the scan consumed exactly one replay draw for all 3 batches
     assert buf1._draws == 1
+
+
+def test_update_chunk_caps_fused_scan_length():
+    """cfg.update_chunk splits update_many(n) into ceil(n/chunk) scan
+    dispatches, each with its own sample_many draw — the HBM guard for
+    pixel-scale replay batches (a fused update materializes its whole
+    batch; 16 pixel batches next to the 12.3 GB device ring OOMed a 16 GB
+    v5e, tdmpc2.py update_many docstring)."""
+    from tdmpc2_tpu.data.buffer import Buffer
+
+    cfg = make_cfg()
+    cfg.batch_size = 8
+    cfg.update_chunk = 2
+    agent = TDMPC2(cfg)
+    buf = Buffer(cfg)
+    rng = np.random.default_rng(0)
+    rows = cfg.episode_length + 1
+    buf.add(dict(
+        obs=rng.standard_normal(
+            (rows, cfg.obs_shape['state'][0])).astype(np.float32),
+        action=rng.uniform(-1, 1, (rows, cfg.action_dim)).astype(np.float32),
+        reward=rng.standard_normal(rows).astype(np.float32),
+        terminated=np.zeros(rows, np.float32)))
+    draws0 = buf._draws
+    info = agent.update_many(buf, 5)          # chunks of 2, 2, 1
+    assert buf._draws - draws0 == 3
+    assert np.isfinite(float(info['total_loss']))
+    # rgb runs get the cap by default (parse_cfg); state runs stay uncapped
+    from tdmpc2_tpu.config import Config, parse_cfg
+    assert parse_cfg(Config(task='walker-walk', obs='rgb')).update_chunk == 8
+    assert parse_cfg(Config(task='walker-walk')).update_chunk == 0
