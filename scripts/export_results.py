@@ -3,10 +3,16 @@
 (step,reward,seed — reference results/tdmpc2/*.csv).
 
 Usage: python scripts/export_results.py <task> [seed] [exp_name] [variant]
+           [--min-step N]
 
 `variant` (default 'tdmpc2_tpu') selects the results subdirectory, e.g.
 'tdmpc2_tpu-pixels' for rgb runs (mirrors the reference's
 results/tdmpc2-pixels/ layout).
+
+`--min-step N` refuses to export until the source curve reaches step N —
+used when a fresh run restarts a task+seed whose previous (longer) curve
+is already committed, so a short re-run can't clobber better evidence
+(the exporter replaces rows per-seed).
 """
 
 from __future__ import annotations
@@ -17,13 +23,25 @@ from pathlib import Path
 
 
 def main():
-    task = sys.argv[1]
-    seed = sys.argv[2] if len(sys.argv) > 2 else '1'
-    exp = sys.argv[3] if len(sys.argv) > 3 else 'r1'
-    variant = sys.argv[4] if len(sys.argv) > 4 else 'tdmpc2_tpu'
+    argv = list(sys.argv[1:])
+    min_step = 0
+    if '--min-step' in argv:
+        i = argv.index('--min-step')
+        min_step = int(argv[i + 1])
+        del argv[i:i + 2]
+    task = argv[0]
+    seed = argv[1] if len(argv) > 1 else '1'
+    exp = argv[2] if len(argv) > 2 else 'r1'
+    variant = argv[3] if len(argv) > 3 else 'tdmpc2_tpu'
     src = Path('logs') / task / seed / exp / 'eval.csv'
     if not src.exists():
         sys.exit(f'No curve at {src}')
+    if min_step:
+        with open(src) as f:
+            steps = [int(r['step']) for r in csv.DictReader(f)]
+        if not steps or max(steps) < min_step:
+            sys.exit(f'{src} max step {max(steps) if steps else 0} '
+                     f'< --min-step {min_step}; not exporting')
     out_dir = Path('results') / variant
     out_dir.mkdir(parents=True, exist_ok=True)
     out = out_dir / f'{task}.csv'
