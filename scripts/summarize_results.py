@@ -63,6 +63,8 @@ def main():
     print('|---|---|---|---|---|---|')
     for fp in sorted(out_dir.glob('*.csv')):
         task = fp.stem
+        if task.startswith('mt30') or task.startswith('mt80'):
+            continue  # offline multitask curves get their own doc section
         ours = _by_seed(fp)
         ref_fp = REF_ROOT / ref_variant / f'{task}.csv'
         ref = _by_seed(ref_fp) if ref_fp.exists() else {}

@@ -130,16 +130,22 @@ class WorldModel:
             obs = self.task_emb(params, obs, task)
         if cfg.obs == 'rgb':
             enc = params['encoder']['rgb']
+            # compute_dtype (cfg.bf16_update) covers the conv stack too: the
+            # pixel update is conv-dominated and its activations are the HBM
+            # traffic that bf16 I/O halves (the MXU already multiplies in
+            # bf16 under matmul_precision='default').
+            dt = self.compute_dtype or jnp.float32
             if obs.ndim == 5:  # [T, B, C, H, W]: vmap over time
                 if key is not None:
                     tkeys = jax.random.split(key, obs.shape[0])
                     return jax.vmap(
                         lambda o, k: layers.conv_encoder_apply(
-                            enc, o, cfg.simnorm_dim, key=k))(obs, tkeys)
+                            enc, o, cfg.simnorm_dim, key=k, dtype=dt))(obs, tkeys)
                 return jax.vmap(
                     lambda o: layers.conv_encoder_apply(
-                        enc, o, cfg.simnorm_dim))(obs)
-            return layers.conv_encoder_apply(enc, obs, cfg.simnorm_dim, key=key)
+                        enc, o, cfg.simnorm_dim, dtype=dt))(obs)
+            return layers.conv_encoder_apply(enc, obs, cfg.simnorm_dim, key=key,
+                                             dtype=dt)
         return layers.mlp_apply(
             params['encoder']['state'], obs,
             final_act=lambda x: layers.simnorm(x, cfg.simnorm_dim),

@@ -70,6 +70,40 @@ def test_bf16_update_close_to_fp32():
         np.testing.assert_allclose(np.asarray(pf), np.asarray(pb), atol=2e-3)
 
 
+def test_bf16_update_covers_conv_encoder():
+    """rgb: the conv stack runs under compute_dtype too (the pixel update is
+    conv-dominated; bf16 I/O halves its HBM activation traffic). Same
+    closeness contract as the state test."""
+    def rgb_cfg(**kw):
+        # 64x64 input with 4 channels -> 4x4x4 = 64 conv output = latent_dim
+        cfg = make_cfg(num_channels=4, latent_dim=64, **kw)
+        cfg.obs = 'rgb'
+        cfg.obs_shape = {'rgb': (9, 64, 64)}
+        return cfg
+
+    rng = np.random.default_rng(2)
+    fp = TDMPC2(rgb_cfg())
+    bf = TDMPC2(rgb_cfg(bf16_update=True))
+    T, B = fp.cfg.horizon, fp.cfg.batch_size
+    batch = (
+        jnp.asarray(rng.integers(0, 256, (T + 1, B, 9, 64, 64)), jnp.float32),
+        jnp.asarray(rng.uniform(-1, 1, (T, B, ACT_DIM)), jnp.float32),
+        jnp.asarray(rng.standard_normal((T, B, 1)), jnp.float32),
+        jnp.zeros((T, B, 1), jnp.float32))
+
+    st_fp, info_fp = jax.jit(fp._update)(fp.state, *batch)
+    st_bf, info_bf = jax.jit(bf._update)(bf.state, *batch)
+    for k in ('total_loss', 'consistency_loss', 'reward_loss', 'value_loss',
+              'pi_loss', 'grad_norm'):
+        a, b = float(info_fp[k]), float(info_bf[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (k, a, b)
+    for pf, pb in zip(jax.tree.leaves(st_fp.params),
+                      jax.tree.leaves(st_bf.params)):
+        assert pb.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pb), atol=2e-3)
+
+
 def test_bf16_acting_is_exactly_fp32():
     fp = TDMPC2(make_cfg())
     bf = TDMPC2(make_cfg(bf16_update=True))
