@@ -51,16 +51,20 @@ def batch_for(cfg, seed=0):
 
 
 def time_updates(agent, batch, n, trials=3):
+    """NOTE: on the tunneled backend block_until_ready does not actually
+    block (scripts/profile_pixel_update.py) — every trial chains updates
+    through the carried state and ends with a host scalar fetch, which
+    forces the full chain."""
     import jax
     upd = jax.jit(agent._update)
     st, info = upd(agent.state, *batch)          # compile
-    jax.block_until_ready(info['total_loss'])
+    float(info['total_loss'])
     best = float('inf')
     for _ in range(trials):
         start = time.perf_counter()
         for _ in range(n):
             st, info = upd(st, *batch)
-        jax.block_until_ready(info['total_loss'])
+        float(info['total_loss'])
         best = min(best, (time.perf_counter() - start) / n)
     return best, {k: float(info[k]) for k in
                   ('total_loss', 'consistency_loss', 'reward_loss',
