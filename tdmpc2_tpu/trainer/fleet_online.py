@@ -370,6 +370,16 @@ class FleetOnlineTrainer:
                     self.loggers[k].log(m, 'train')
                     ep_stats[k] = dict(r=[], s=[], l=[], t=[])
 
+        # final-boundary eval: with K*N env steps per iteration, _step jumps
+        # from just-below to just-above cfg.steps, so the eval owed AT the
+        # horizon (e.g. 400k with eval_freq 50k) would otherwise never run
+        # and the exported curve would end one eval_freq short.
+        if next_eval_at <= cfg.steps:
+            for k, em in enumerate(self.eval()):
+                em.update(self.common_metrics(k))
+                self.loggers[k].log(em, 'eval')
+            self._checkpoint()
+
         self.finish()
 
     def finish(self):

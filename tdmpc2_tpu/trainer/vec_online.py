@@ -212,4 +212,13 @@ class VecOnlineTrainer(OnlineTrainer):
                 self.logger.log(train_metrics, 'train')
                 ep_rewards, ep_successes, ep_lengths, ep_terms = [], [], [], []
 
+        # final-boundary eval: _step advances n per iteration and can jump
+        # past cfg.steps, skipping the eval owed exactly AT the horizon —
+        # run it so the exported curve ends at the nominal step count.
+        if next_eval_at <= cfg.steps:
+            eval_metrics = self.eval()
+            eval_metrics.update(self.common_metrics())
+            self.logger.log(eval_metrics, 'eval')
+            self._checkpoint()
+
         self.finish()

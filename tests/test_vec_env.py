@@ -70,6 +70,28 @@ def test_vec_trainer_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(batch[0])).all()
 
 
+def test_vec_trainer_final_boundary_eval(tmp_path):
+    """_step advances num_envs per iteration and jumps past cfg.steps, so
+    the eval owed exactly AT the horizon (steps=200, eval_freq=100, n=3:
+    ..., 198 -> 201) must still run post-loop — otherwise every completed
+    vec/fleet run's exported curve ends one eval_freq short of the nominal
+    horizon (hopper-stand r4 ended at 350k of 400k)."""
+    cfg = make_cfg(tmp_path, steps=200, eval_freq=100, eval_episodes=1,
+                   save_csv=True)
+    env = make_env(cfg)
+    cfg.seed_steps = 160
+    trainer = VecOnlineTrainer(cfg=cfg, env=env, agent=TDMPC2(cfg),
+                               buffer=Buffer(cfg), logger=Logger(cfg))
+    trainer.train()
+    import csv as _csv
+    import pathlib
+    rows = list(_csv.DictReader(
+        open(pathlib.Path(cfg.work_dir) / 'eval.csv')))
+    steps = [int(float(r['step'])) for r in rows]
+    assert steps[-1] >= cfg.steps, steps   # the horizon eval ran
+    assert len(steps) >= 3, steps          # 0, ~100, >=200
+
+
 def test_vec_trainer_seed_steps_before_first_flush(tmp_path):
     """seed_steps can elapse before the first episode round flushes (n envs
     x episode_length > seed_steps); updates must wait for buffered data."""
