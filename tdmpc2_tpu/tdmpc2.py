@@ -412,8 +412,11 @@ class TDMPC2:
             def plan_tasks(params, obs, pm, t0, key, tasks):
                 m = obs.shape[0]   # trace-time constant (retrace per n)
                 keys = jax.random.split(key, m + 1)
+                # fused=False: the Pallas kernels' prepared weights are
+                # task-dependent, so vmapping over the task axis would batch
+                # the weights (unsupported); the XLA planner vmaps fine.
                 a, means, _ = jax.vmap(
-                    partial(self._plan, eval_mode=True),
+                    partial(self._plan, eval_mode=True, fused=False),
                     in_axes=(None, 0, 0, 0, 0, 0, None))(
                     params, obs[:, None], pm, t0, keys[:m], tasks, None)
                 return a, means, keys[m]
@@ -456,13 +459,14 @@ class TDMPC2:
                 action_mask=self.model.action_masks[task][0], dot_dtype=dt)
         return prepare_value_params(params, cfg, dot_dtype=dt)
 
-    def _estimate_value(self, params, z, actions, key, task, prep=None):
+    def _estimate_value(self, params, z, actions, key, task, prep=None,
+                        fused=True):
         """H-step latent return estimate (reference tdmpc2.py:122-136).
 
         z: [S, L]; actions: [H, S, A] -> value [S, 1].
         """
         cfg = self.cfg
-        if self._fused_rollout:
+        if self._fused_rollout and fused:
             # fully fused CEM value estimate: rollout + terminal pi + 2-of-N
             # Q decode (+ termination gate when episodic) in one VMEM-
             # resident kernel. The multitask task embedding and action mask
@@ -516,7 +520,7 @@ class TDMPC2:
         return G + disc * (1.0 - term) * q
 
     def _plan(self, params, obs, prev_mean, t0, key, task, prep=None,
-              *, eval_mode: bool):
+              *, eval_mode: bool, fused: bool = True):
         """MPPI planner as one fused kernel (reference tdmpc2.py:138-206).
 
         Returns (action [A], new_prev_mean [H, A], new_key).
@@ -524,6 +528,11 @@ class TDMPC2:
         `prep` (optional) is the pre-cast/sliced fused-kernel weight tuple;
         `act()` passes the agent-level cached copy so the ~10 MB cast/slice
         runs once per parameter update, not once per plan.
+
+        `fused=False` (static) forces the pure-XLA planner even when the
+        Pallas kernels probed OK — required when `_plan` is vmapped over the
+        TASK axis (act_tasks' lockstep multitask eval): the prepared weights
+        are task-dependent, and the kernels reject batched weights.
         """
         cfg = self.cfg
         H, S, E = cfg.horizon, cfg.num_samples, cfg.num_elites
@@ -539,7 +548,8 @@ class TDMPC2:
         # whole-CEM kernel, the rollouts run IN-kernel on the resident
         # dyn/pi weights; only the per-step sampling noise is drawn here
         # (same keys/shapes as model.pi would consume in the scan).
-        if n_pi > 0 and not self._fused_cem:
+        use_cem = self._fused_cem and fused
+        if n_pi > 0 and not use_cem:
             def pi_step(carry, k):
                 z = carry
                 a, _ = self.model.pi(params, z, k, task)
@@ -552,7 +562,8 @@ class TDMPC2:
         # prepared here, outside the CEM loop (weights are loop-invariant)
         if prep is None:
             prep = (self._prepare_value(params, task)
-                    if (self._fused_rollout or self._fused_cem) else None)
+                    if ((self._fused_rollout or self._fused_cem) and fused)
+                    else None)
 
         z = jnp.broadcast_to(z0, (S, z0.shape[-1]))
         mean0 = jnp.where(
@@ -566,7 +577,7 @@ class TDMPC2:
         else:
             a_mask = None
 
-        if self._fused_cem:
+        if use_cem:
             # Whole-CEM-loop Pallas kernel: all `self.iterations` iterations
             # (sample -> rollout -> elites -> moment update) in ONE program,
             # weights HBM->VMEM once per plan. Every random draw replicates
@@ -641,7 +652,7 @@ class TDMPC2:
                 actions = actions * a_mask
 
             value = self._estimate_value(
-                params, z, actions, k_v, task, prep)  # [S,1]
+                params, z, actions, k_v, task, prep, fused=fused)  # [S,1]
             value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
             elite_value, elite_idx = jax.lax.top_k(value[:, 0], E)
             elite_actions = actions[:, elite_idx]           # [H, E, A]

@@ -167,3 +167,33 @@ def test_cem_kernel_all_tied_values_finite():
     assert np.isfinite(np.asarray(a)).all()
     assert np.isfinite(np.asarray(mean)).all()
     assert np.all(np.abs(np.asarray(a)) <= 1.0)
+
+
+def test_act_tasks_with_fused_cem_enabled_matches_kernel_off():
+    """act_tasks vmaps _plan over the TASK axis. The prepared kernel weights
+    are task-dependent, so with the whole-CEM kernel probed on, the vmap
+    batched the weights and ops/pallas_cem.py's _batched guard raised
+    (regression: both mt30 offline eval slots crashed at their first eval,
+    round-4 session 4). act_tasks now forces fused=False — the XLA planner
+    — and must produce bit-identical actions to a kernel-off agent on the
+    same state/keys."""
+    agent, cfg, _ = _make_agent('multitask')
+    agent.state = agent.state.replace(params=_perturb(agent.state.params))
+    n = 3
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal((n, cfg.obs_shape['state'][0])).astype(np.float32)
+    pm = np.zeros((n, cfg.horizon, cfg.action_dim), np.float32)
+    tasks = [0, 17, 29]
+    st0 = agent.state
+
+    a_off, pm_off = agent.act_tasks(obs, jnp.asarray(pm), True, tasks)
+
+    agent.state = st0                  # same keys for the second pass
+    agent._plan_tasks_jit = None       # force a retrace under the new flags
+    agent._fused_cem = True
+    agent._cem_interpret = True
+    agent._pallas_dot_dtype = jnp.float32
+    a_on, pm_on = agent.act_tasks(obs, jnp.asarray(pm), True, tasks)
+
+    np.testing.assert_array_equal(a_on, a_off)
+    np.testing.assert_array_equal(np.asarray(pm_on), np.asarray(pm_off))
