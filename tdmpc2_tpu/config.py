@@ -163,9 +163,12 @@ class Config:
     # update_many_fused): each fused update materializes its full replay
     # batch in HBM, and for pixel batches that is ~151 MB f32 apiece —
     # n=16 next to the 12.3 GB device ring OOMs a 16 GB v5e (measured
-    # 2026-08-19), n=8 is proven. 0 = uncapped; parse_cfg sets 8 for rgb.
-    # Chunked calls consume the same draw stream one sample_many(chunk) at
-    # a time (different draws than one sample_many(n), equally uniform).
+    # 2026-08-19), n=8 is proven. 0 = AUTO: a bytes-aware cap computed from
+    # the sampled-batch footprint vs free HBM (TDMPC2._auto_update_chunk;
+    # resolves to 8 at the measured walker-64px-rgb geometry, uncapped for
+    # small state batches); >0 overrides it. Chunked calls consume the same
+    # draw stream one sample_many(chunk) at a time (different draws than
+    # one sample_many(n), equally uniform).
     update_chunk: int = 0
     # fused actor-learner step for vectorized collection: plan + replay
     # sample + the step's gradient updates in ONE device dispatch (cuts the
@@ -296,10 +299,6 @@ def parse_cfg(cfg: Config) -> Config:
             setattr(cfg, k, v)
         if cfg.task == 'mt30' and cfg.model_size == 19:
             cfg.latent_dim = 512  # published mt30/19M checkpoint quirk (parser.py:67-68)
-
-    if cfg.obs == 'rgb' and not cfg.update_chunk:
-        cfg.update_chunk = 8  # pixel replay batches are ~151 MB f32 each;
-        # >8 fused next to the device ring OOMs a 16 GB chip (see field doc)
 
     cfg.multitask = cfg.task in TASK_SET
     if cfg.multitask:

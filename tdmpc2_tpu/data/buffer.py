@@ -102,6 +102,32 @@ class Buffer:
     def capacity(self) -> int:
         return self._capacity
 
+    def device_ring_bytes(self) -> int:
+        """HBM bytes held by the storage ring (0 when host-resident or not
+        yet initialized). Used by the agent's bytes-aware update-chunk cap."""
+        if not self._on_device or self._storage is None:
+            return 0
+        return sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in self._storage.values())
+
+    def sample_batch_bytes(self):
+        """Bytes ONE sampled training batch materializes in HBM, or None
+        before storage init. The sampler rebuilds pixel frame stacks and
+        casts to float32 (`_sample_device`), so for rgb this is
+        frame_stack x the stored uint8 frame footprint x 4 — e.g. walker
+        64px: (horizon+1) x 256 x 9x64x64 x 4 B ~= 151 MB, obs-dominated."""
+        if self._storage is None:
+            return None
+        T, B = self._horizon, self._batch_size
+        total = 0
+        for k, v in self._storage.items():
+            n_feat = int(np.prod(v.shape[2:])) if v.ndim > 2 else 1
+            if k == 'obs':
+                n_feat *= self._frame_stack
+            rows = T + 1 if k == 'obs' else T
+            total += rows * B * n_feat * 4  # materialized as float32
+        return total
+
     @property
     def num_eps(self) -> int:
         return self._num_eps

@@ -33,6 +33,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from tdmpc2_tpu.data.buffer import _device_free_bytes
 from tdmpc2_tpu.models.world_model import WorldModel
 from tdmpc2_tpu.ops import math
 from tdmpc2_tpu.ops import scale as scale_ops
@@ -697,6 +698,52 @@ class TDMPC2:
         self.state, info = self._update_jit(self.state, *batch)
         return info
 
+    # HBM budget model for the auto update-chunk cap (VERDICT r4 #8):
+    # usable v5e HBM when the tunneled backend hides memory_stats(), and the
+    # reserve for everything that is not fused replay batches (planner
+    # workspace, update activations, XLA scratch + fragmentation). The
+    # reserve is CALIBRATED to the one measured geometry: walker-64px rgb
+    # (12.3 GB ring, 151 MB batches) must resolve to the proven-safe chunk 8
+    # (chunk 16 OOMed, commit 0134e2a).
+    _HBM_FALLBACK_BYTES = 15_800_000_000
+    _HBM_RESERVE_BYTES = 2_200_000_000
+
+    def _auto_update_chunk(self, buffer) -> int:
+        """Bytes-aware cap on updates fused per dispatch: each fused update
+        materializes its replay batch in HBM, so the cap is
+        free_bytes // batch_bytes. Free bytes come from memory_stats() when
+        the backend reports it; on the tunneled chip (it does not) from the
+        v5e budget minus the device ring and the train-state pytree
+        (params + target + Adam moments — 5 GB at 317M). Returns 0 when
+        batch bytes are unknown (no cap)."""
+        resolve = getattr(buffer, 'sample_batch_bytes', None)
+        bb = resolve() if resolve is not None else None
+        if not bb:
+            return 0
+        free = _device_free_bytes()
+        if free is None:
+            state_bytes = sum(getattr(l, 'nbytes', 0)
+                              for l in jax.tree.leaves(self.state))
+            free = (self._HBM_FALLBACK_BYTES - buffer.device_ring_bytes()
+                    - state_bytes)
+        return max(1, int((free - self._HBM_RESERVE_BYTES) // bb))
+
+    def _update_chunk(self, buffer) -> int:
+        """cfg.update_chunk > 0 is an explicit override; 0 means auto
+        (bytes-aware; 0 = uncapped when geometry is unknown). Auto is cached
+        per buffer storage: geometry is fixed once storage is allocated."""
+        chunk = self.cfg.get('update_chunk', 0)
+        if chunk:
+            return chunk
+        storage = getattr(buffer, '_storage', None)
+        if storage is None:
+            return 0
+        cached = getattr(self, '_auto_chunk_cache', None)
+        if cached is None or cached[0] is not storage:
+            cached = (storage, self._auto_update_chunk(buffer))
+            self._auto_chunk_cache = cached
+        return cached[1]
+
     def update_many(self, buffer, n: int):
         """`n` sequential learning iterations fused into one device call:
         one batched replay gather + a `lax.scan` over the update step. On the
@@ -706,11 +753,10 @@ class TDMPC2:
         come from one `sample_many` draw. Amortizes per-dispatch overhead for
         batched collection and offline training; no reference counterpart.
 
-        cfg.update_chunk caps the updates fused per dispatch (each fused
-        update materializes its replay batch in HBM — pixel batches are
-        ~151 MB f32 apiece, and n=16 next to the 12.3 GB device ring OOMed
-        a 16 GB v5e); larger n runs as ceil(n/chunk) sequential dispatches."""
-        chunk = self.cfg.get('update_chunk', 0)
+        The update-chunk cap (explicit cfg.update_chunk, else the bytes-aware
+        auto cap — see `_auto_update_chunk`) bounds the updates fused per
+        dispatch; larger n runs as ceil(n/chunk) sequential dispatches."""
+        chunk = self._update_chunk(buffer)
         if chunk and n > chunk:
             info = None
             for m in range(0, n, chunk):
@@ -818,9 +864,10 @@ class TDMPC2:
         this asynchronously right after the action fetch, so the update
         executes on device while the host steps physics.
 
-        cfg.update_chunk caps the fused scan length exactly as in
-        `update_many` (the in-jit draw also materializes all n batches)."""
-        chunk = self.cfg.get('update_chunk', 0)
+        The update-chunk cap (explicit or bytes-aware auto) bounds the fused
+        scan length exactly as in `update_many` (the in-jit draw also
+        materializes all n batches)."""
+        chunk = self._update_chunk(buffer)
         if chunk and n > chunk:
             info = None
             for m in range(0, n, chunk):
