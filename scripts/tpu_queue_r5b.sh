@@ -1,0 +1,163 @@
+#!/bin/bash
+# Round-5 follower queue (r5b): takes over after r5a's pixels slot.
+#
+# r5a is stopped via its sentinel (.stop_queue5) once the pixels resume is
+# underway, so its draft mt30 slots (too-tight caps: 60k iters at
+# eval_freq=10000 cannot fit 2400 s) never fire; this queue runs the
+# corrected remainder of the round-5 plan in VERDICT-priority order:
+#   1. mt30 medium 19M + 48M (60k iters, eval_freq=20000 as in r4g) and the
+#      317M short TRAINING demo (VERDICT item 2)
+#   2. cheetah-run seeds 2,3 -> 600k (item 4)
+#   3. hopper-hop toward 4M, window minus a reserve for the last two slots
+#      (item 3; partial + resumable artifact if the window ends first)
+#   4. cartpole-balance 3-seed top-up toward 500k (item 5 / BASELINE gate)
+#   5. walker-flip 3-seed custom-task proof (item 7)
+#   6. opportunistic: cheetah-run-backwards, lunarlander (items 7, 5)
+#
+# Usage: nohup setsid bash scripts/tpu_queue_r5b.sh <DEADLINE_EPOCH> \
+#          > /tmp/tpu_queue_r5b.log 2>&1 &
+# Waits for r5a to drain (.queue_r5a_done). Stop: touch .stop_queue5b
+cd /root/repo || exit 1
+export PYTHONPATH="/root/repo:${PYTHONPATH}"
+DEADLINE=${1:?need absolute epoch deadline}
+
+log() { echo "[q5b $(date -u '+%m-%d %H:%M:%S')] $*"; }
+rm -f .stop_queue5b .queue_r5b_done
+
+log "waiting for r5a to drain (.queue_r5a_done)"
+while [ ! -f .queue_r5a_done ]; do
+  if [ -f .stop_queue5b ]; then log "stop sentinel while waiting; exit"; exit 0; fi
+  sleep 60
+done
+log "r5a drained; starting r5b slots"
+
+EXPORTER=
+stop_exporter() {
+  if [ -n "$EXPORTER" ]; then
+    kill -- -"$EXPORTER" 2>/dev/null
+    wait "$EXPORTER" 2>/dev/null
+    EXPORTER=
+  fi
+}
+trap 'stop_exporter; touch .queue_r5b_done' EXIT
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  if [ -f .stop_queue5b ]; then log "stop sentinel; exiting"; exit 0; fi
+  local now rem; now=$(date +%s); rem=$(( DEADLINE - now ))
+  if [ "$rem" -lt 600 ]; then log "deadline reached; skipping $name"; return 99; fi
+  if [ "$tmo" -gt "$rem" ]; then tmo=$rem; fi
+  log "START $name (tmo=${tmo}s): $*"
+  timeout "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
+  local rc=$?
+  log "DONE rc=$rc $name"
+  return $rc
+}
+
+export_task() {
+  local task=$1 exp=$2 variant=$3 minstep=$4; shift 4
+  for s in "$@"; do
+    python scripts/export_results.py "$task" "$s" "$exp" "$variant" \
+      --min-step "$minstep" && log "exported $task s$s"
+  done
+}
+
+commit_results() {
+  git add results docs 2>/dev/null
+  git commit -q -m "$1" results docs 2>/dev/null \
+    && log "committed: $1" || true
+}
+
+start_exporter() {
+  local task=$1 exp=$2 variant=$3 minstep=$4; shift 4
+  local seeds=("$@")
+  setsid bash -c '
+    task=$1 exp=$2 variant=$3 minstep=$4; shift 4
+    while sleep 1200; do
+      for s in "$@"; do
+        python scripts/export_results.py "$task" "$s" "$exp" "$variant" \
+          --min-step "$minstep" >/dev/null 2>&1
+      done
+    done
+  ' _ "$task" "$exp" "$variant" "$minstep" "${seeds[@]}" &
+  EXPORTER=$!
+}
+
+fleet_slot() {  # fleet_slot <task> <steps> <tmo> <seeds-csv> <nv>
+  local task=$1 steps=$2 tmo=$3 seeds=$4 nv=$5
+  local name=${task//-/_}
+  IFS=, read -ra SA <<< "$seeds"
+  start_exporter "$task" r5 tdmpc2_tpu 0 "${SA[@]}"
+  run "$name" "$tmo" python train.py task="$task" seeds="$seeds" \
+    steps="$steps" num_envs="$nv" eval_freq=50000 eval_episodes=10 \
+    exp_name=r5 resume=true
+  stop_exporter
+  export_task "$task" r5 tdmpc2_tpu 0 "${SA[@]}"
+  python scripts/strip_checkpoint.py --all r5 >/dev/null 2>&1 \
+    && log "stripped checkpoints for $task"
+  commit_results "results: $task fleet curves to the horizon reached (r5 queue)"
+}
+
+mt30_slot() {  # mt30_slot <size> <tmo> <steps> <evalfreq> <exp> <outfile>
+  local size=$1 tmo=$2 steps=$3 ef=$4 exp=$5 outfile=$6
+  run "mt30_${size}m" "$tmo" python train.py task=mt30 model_size="$size" \
+    data_dir=datasets/mt30_medium steps="$steps" eval_freq="$ef" \
+    eval_episodes=2 exp_name="$exp" seed=1
+  python - "$exp" "$outfile" <<'PYEOF' || true
+import csv, sys
+exp, outfile = sys.argv[1], sys.argv[2]
+rows = [dict(step=r['step'], reward=r['episode_reward'], seed='1')
+        for r in csv.DictReader(open(f'logs/mt30/1/{exp}/eval.csv'))]
+with open(outfile, 'w', newline='') as f:
+    w = csv.DictWriter(f, fieldnames=['step', 'reward', 'seed'])
+    w.writeheader(); w.writerows(rows)
+print(f'wrote {outfile} ({len(rows)} rows)')
+PYEOF
+  commit_results "results: mt30 ${size}M offline run on medium-quality self-collected data (r5)"
+}
+
+# ---- 1: mt30 medium-data scaling + 317M training demo --------------------
+if [ -f datasets/mt30_medium/.complete ]; then
+  mt30_slot 19 3600 60000 20000 r5-mt30-19m results/tdmpc2_tpu/mt30-medium-19m.csv
+  mt30_slot 48 3300 60000 20000 r5-mt30-48m results/tdmpc2_tpu/mt30-medium-48m.csv
+  mt30_slot 317 3600 20000 10000 r5-mt30-317m results/tdmpc2_tpu/mt30-medium-317m.csv
+else
+  log "mt30_medium dataset not ready; skipping mt30 slots"
+fi
+
+# ---- 2: cheetah seeds 2,3 -> 600k (10th 3-seed grid task) ----------------
+fleet_slot cheetah-run 600000 5400 2,3 12
+
+# ---- 3: hopper-hop toward 4M: window minus reserve for slots 4-5 ---------
+RESERVE=7500
+now=$(date +%s); HOP_TMO=$(( DEADLINE - now - RESERVE ))
+if [ "$HOP_TMO" -gt 1200 ]; then
+  start_exporter hopper-hop r5 tdmpc2_tpu 0 1
+  run hopper_hop "$HOP_TMO" python train.py task=hopper-hop seed=1 \
+    steps=4000000 num_envs=16 eval_freq=50000 eval_episodes=10 \
+    exp_name=r5 resume=true
+  stop_exporter
+  export_task hopper-hop r5 tdmpc2_tpu 0 1
+  if [ -f logs/hopper-hop/1/r5/models/latest.pkl ]; then
+    mkdir -p results/checkpoints/full
+    gzip -c logs/hopper-hop/1/r5/models/latest.pkl \
+      > results/checkpoints/full/hopper-hop-s1-r5.pkl.gz
+    cp logs/hopper-hop/1/r5/eval.csv \
+      results/checkpoints/full/hopper-hop-s1-r5.eval.csv
+  fi
+  commit_results "results: hopper-hop long-horizon curve to the step reached + resumable artifact (r5)"
+else
+  log "no window for hopper-hop (rem minus reserve ${HOP_TMO}s)"
+fi
+
+# ---- 4: cartpole-balance top-up toward 500k (BASELINE gate) --------------
+fleet_slot cartpole-balance 500000 4800 1,2,3 12
+
+# ---- 5: walker-flip custom-task proof (3 seeds) --------------------------
+fleet_slot walker-flip 300000 2700 1,2,3 12
+
+# ---- 6: opportunistic ----------------------------------------------------
+fleet_slot cheetah-run-backwards 300000 2700 1,2,3 12
+fleet_slot lunarlander-continuous 400000 5400 1 8
+
+log "queue r5b drained"
