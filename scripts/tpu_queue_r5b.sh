@@ -5,14 +5,18 @@
 # underway, so its draft mt30 slots (too-tight caps: 60k iters at
 # eval_freq=10000 cannot fit 2400 s) never fire; this queue runs the
 # corrected remainder of the round-5 plan in VERDICT-priority order:
-#   1. mt30 medium 19M + 48M (60k iters, eval_freq=20000 as in r4g) and the
+#   1. mt30 medium 19M + 48M (40k iters — the ~200k-transition dataset is
+#      ~50 epochs at that point; 60k did not fit the slot caps) and the
 #      317M short TRAINING demo (VERDICT item 2)
 #   2. cheetah-run seeds 2,3 -> 600k (item 4)
-#   3. hopper-hop toward 4M, window minus a reserve for the last two slots
-#      (item 3; partial + resumable artifact if the window ends first)
-#   4. cartpole-balance 3-seed top-up toward 500k (item 5 / BASELINE gate)
-#   5. walker-flip 3-seed custom-task proof (item 7)
-#   6. opportunistic: cheetah-run-backwards, lunarlander (items 7, 5)
+#   3. hopper-hop toward 4M (item 3): everything that remains minus ONE
+#      45-min reserve — at ~200-350 env-steps/s (nv=16) the goal is to put
+#      the first committed curve past 1.3M + a resumable artifact; 4M does
+#      not fit this window no matter the ordering (budget in RUNLOG_r5)
+#   4. walker-flip 3-seed custom-task proof (item 7; chosen over the
+#      cartpole-balance top-up: validates a whole untrained layer vs
+#      extending an already-converged curve)
+#   5. opportunistic: cartpole-balance, cheetah-run-backwards, lunarlander
 #
 # Usage: nohup setsid bash scripts/tpu_queue_r5b.sh <DEADLINE_EPOCH> \
 #          > /tmp/tpu_queue_r5b.log 2>&1 &
@@ -118,8 +122,8 @@ PYEOF
 
 # ---- 1: mt30 medium-data scaling + 317M training demo --------------------
 if [ -f datasets/mt30_medium/.complete ]; then
-  mt30_slot 19 3600 60000 20000 r5-mt30-19m results/tdmpc2_tpu/mt30-medium-19m.csv
-  mt30_slot 48 3300 60000 20000 r5-mt30-48m results/tdmpc2_tpu/mt30-medium-48m.csv
+  mt30_slot 19 3600 40000 20000 r5-mt30-19m results/tdmpc2_tpu/mt30-medium-19m.csv
+  mt30_slot 48 3600 40000 20000 r5-mt30-48m results/tdmpc2_tpu/mt30-medium-48m.csv
   mt30_slot 317 3600 20000 10000 r5-mt30-317m results/tdmpc2_tpu/mt30-medium-317m.csv
 else
   log "mt30_medium dataset not ready; skipping mt30 slots"
@@ -128,8 +132,8 @@ fi
 # ---- 2: cheetah seeds 2,3 -> 600k (10th 3-seed grid task) ----------------
 fleet_slot cheetah-run 600000 5400 2,3 12
 
-# ---- 3: hopper-hop toward 4M: window minus reserve for slots 4-5 ---------
-RESERVE=7500
+# ---- 3: hopper-hop toward 4M: window minus the walker-flip reserve -------
+RESERVE=2700
 now=$(date +%s); HOP_TMO=$(( DEADLINE - now - RESERVE ))
 if [ "$HOP_TMO" -gt 1200 ]; then
   start_exporter hopper-hop r5 tdmpc2_tpu 0 1
@@ -150,13 +154,11 @@ else
   log "no window for hopper-hop (rem minus reserve ${HOP_TMO}s)"
 fi
 
-# ---- 4: cartpole-balance top-up toward 500k (BASELINE gate) --------------
-fleet_slot cartpole-balance 500000 4800 1,2,3 12
-
-# ---- 5: walker-flip custom-task proof (3 seeds) --------------------------
+# ---- 4: walker-flip custom-task proof (3 seeds) --------------------------
 fleet_slot walker-flip 300000 2700 1,2,3 12
 
-# ---- 6: opportunistic ----------------------------------------------------
+# ---- 5: opportunistic ----------------------------------------------------
+fleet_slot cartpole-balance 500000 4800 1,2,3 12
 fleet_slot cheetah-run-backwards 300000 2700 1,2,3 12
 fleet_slot lunarlander-continuous 400000 5400 1 8
 
