@@ -136,9 +136,13 @@ fleet_slot cheetah-run 600000 5400 2,3 12
 RESERVE=2700
 now=$(date +%s); HOP_TMO=$(( DEADLINE - now - RESERVE ))
 if [ "$HOP_TMO" -gt 1200 ]; then
+  # nv=24 = the proven 2x12 fleet device geometry on a single seed: megastep
+  # amortizes 24 updates per dispatch (~420 env-steps/s theoretical vs ~355
+  # at nv=16); per-batch policy-lag correlation grows but stays within the
+  # precedented range (fleet seeds saw 12, pixels ran 16)
   start_exporter hopper-hop r5 tdmpc2_tpu 0 1
   run hopper_hop "$HOP_TMO" python train.py task=hopper-hop seed=1 \
-    steps=4000000 num_envs=16 eval_freq=50000 eval_episodes=10 \
+    steps=4000000 num_envs=24 eval_freq=50000 eval_episodes=10 \
     exp_name=r5 resume=true
   stop_exporter
   export_task hopper-hop r5 tdmpc2_tpu 0 1
