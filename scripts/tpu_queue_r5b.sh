@@ -28,12 +28,12 @@ DEADLINE=${1:?need absolute epoch deadline}
 log() { echo "[q5b $(date -u '+%m-%d %H:%M:%S')] $*"; }
 rm -f .stop_queue5b .queue_r5b_done
 
-log "waiting for r5a to drain (.queue_r5a_done)"
-while [ ! -f .queue_r5a_done ]; do
+log "waiting for the pixels queue to drain (.queue_r5a2_done)"
+while [ ! -f .queue_r5a2_done ]; do
   if [ -f .stop_queue5b ]; then log "stop sentinel while waiting; exit"; exit 0; fi
   sleep 60
 done
-log "r5a drained; starting r5b slots"
+log "pixels queue drained; starting r5b slots"
 
 EXPORTER=
 stop_exporter() {

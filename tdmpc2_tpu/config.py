@@ -170,6 +170,17 @@ class Config:
     # draw stream one sample_many(chunk) at a time (different draws than
     # one sample_many(n), equally uniform).
     update_chunk: int = 0
+    # after a resume that starts with an EMPTY replay buffer (the buffer is
+    # never checkpointed), suppress gradient updates until the restored
+    # policy has re-collected this many env steps. Running the normal
+    # 1-update-per-step rate against a nearly-empty fresh buffer makes a
+    # well-trained value function diverge (observed: walker-rgb resume at
+    # 250k, eval 923 -> collection reward 85 within 8k steps, pi-loss -77);
+    # a fresh run survives the same ratio only because its policy is still
+    # random. The forgone updates are NOT made up afterwards: the
+    # checkpoint already carries one update per pre-resume step, and the
+    # refill steps REPLACE lost data rather than extend the run. 0 disables.
+    resume_refill_steps: int = 25_000
     # fused actor-learner step for vectorized collection: plan + replay
     # sample + the step's gradient updates in ONE device dispatch (cuts the
     # per-vec-step host->device round trips from ~4 to 1 on the

@@ -141,7 +141,21 @@ class FleetOnlineTrainer:
         self._ep_idx = np.asarray(
             [int(e.get('ep_idx', 0)) for e in extras], np.int64)
         self._resumed = True
+        self._resume_step = self._step
         print(f'Resumed fleet ({self.K} seeds) at step {self._step:,}.')
+
+    def _refill_done(self):
+        """Update/deficit gate for the post-resume buffer-refill window
+        (same semantics as OnlineTrainer._refill_done): while the restored
+        policies re-collect cfg.resume_refill_steps env steps, no updates
+        run AND no deficit accrues — those steps replace data the resume
+        lost with the buffer, and the checkpoints already carry their
+        updates. Always True on a fresh run, so the episodic lagging-seed
+        deficit behavior is unchanged."""
+        if not getattr(self, '_resumed', False):
+            return True
+        gate = int(self.cfg.get('resume_refill_steps', 0) or 0)
+        return self._step - self._resume_step >= gate
 
     def _checkpoint(self):
         if not self.cfg.save_agent:
@@ -241,7 +255,8 @@ class FleetOnlineTrainer:
             timer.reset()
             use_fused = (cfg.fused_step and fused_ok and pretrained
                          and self._step > cfg.seed_steps
-                         and self.buffer.num_eps > 0)
+                         and self.buffer.num_eps > 0
+                         and self._refill_done())
             if use_fused:
                 try:
                     if getattr(cfg, 'overlap_update', True):
@@ -294,7 +309,7 @@ class FleetOnlineTrainer:
 
                 # dispatch the fused K*N-update BEFORE stepping the envs: it
                 # consumes replay only, so host physics overlaps device time
-                if self._step >= cfg.seed_steps:
+                if self._step >= cfg.seed_steps and self._refill_done():
                     if self.buffer.num_eps > 0:
                         if not pretrained:
                             pretrained = True

@@ -96,7 +96,18 @@ class OnlineTrainer(Trainer):
         self._ep_idx = int(extra.get('ep_idx', 0))
         self._sps_anchor = self._step
         self._resumed = True
+        self._resume_step = self._step
         print(f'Resumed from {fp} at step {self._step:,}.')
+
+    def _refill_done(self):
+        """Update gate for the post-resume buffer-refill window: True once
+        the restored policy has re-collected cfg.resume_refill_steps env
+        steps (always True on a fresh run). See the config field for the
+        divergence this prevents."""
+        if not getattr(self, '_resumed', False):
+            return True
+        gate = int(self.cfg.get('resume_refill_steps', 0) or 0)
+        return self._step - self._resume_step >= gate
 
     def _checkpoint(self):
         self.logger.save_agent(
@@ -147,7 +158,8 @@ class OnlineTrainer(Trainer):
             self._record_step(obs, action, reward, info['terminated'])
 
             # update agent
-            if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
+            if (self._step >= cfg.seed_steps and self.buffer.num_eps > 0
+                    and self._refill_done()):
                 if self._step == cfg.seed_steps and not getattr(
                         self, '_resumed', False):
                     num_updates = cfg.seed_steps

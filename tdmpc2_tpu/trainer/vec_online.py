@@ -131,7 +131,8 @@ class VecOnlineTrainer(OnlineTrainer):
             timer.reset()
             use_fused = (cfg.fused_step and fused_ok and pretrained
                          and self._step > cfg.seed_steps
-                         and self.buffer.num_eps > 0)
+                         and self.buffer.num_eps > 0
+                         and self._refill_done())
             if use_fused:
                 try:
                     if cfg.overlap_update:
@@ -165,7 +166,8 @@ class VecOnlineTrainer(OnlineTrainer):
 
                 # dispatch the device update BEFORE stepping the envs: it
                 # only consumes replay, so host physics/rendering overlaps it
-                if self._step >= cfg.seed_steps and self.buffer.num_eps > 0:
+                if (self._step >= cfg.seed_steps and self.buffer.num_eps > 0
+                        and self._refill_done()):
                     if not pretrained:
                         pretrained = True
                         print('Pretraining agent on seed data...')

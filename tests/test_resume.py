@@ -73,6 +73,42 @@ def test_online_resume_continues_from_checkpoint(tmp_path):
     assert t2._step >= max(260, resumed_step)
 
 
+def test_resume_refill_gate_suppresses_updates(tmp_path):
+    """After a resume (always an EMPTY replay buffer — it is not
+    checkpointed), no gradient updates may run until the restored policy
+    has re-collected cfg.resume_refill_steps env steps: the normal
+    1-update-per-step rate on a nearly-empty buffer diverges a trained
+    value function (observed live: walker-rgb resume @250k, eval 923 ->
+    collection reward 85 in 8k steps). The forgone updates are NOT made
+    up afterwards."""
+    cfg = _cfg(tmp_path, steps=200)
+    t1 = _trainer(cfg)
+    t1.train()
+    resumed_from = 200  # checkpoints land on eval boundaries (eval_freq=100)
+
+    cfg2 = _cfg(tmp_path, steps=320, resume=True)
+    cfg2.resume_refill_steps = 60
+    t2 = _trainer(cfg2)
+    t2.train()
+    assert t2._resumed and t2._resume_step >= resumed_from
+    # every update draws exactly once from the (fresh) buffer: with the
+    # gate the only updates are the ~steps-past-(resume+60); without it
+    # the count would be ~(steps - resume_step)
+    span = t2._step - t2._resume_step
+    gated_span = span - 60
+    assert 0 < t2.buffer._draws <= gated_span + 5, (
+        f'draws={t2.buffer._draws}, span={span}')
+
+    # explicit 0 disables the gate entirely
+    cfg3 = _cfg(tmp_path, steps=t2._step + 40, resume=True)
+    cfg3.resume_refill_steps = 0
+    t3 = _trainer(cfg3)
+    t3.train()
+    # updates resume as soon as the first episode flushes (no 60-step gate);
+    # the toy episode is ~50 steps, so only the tail of the span draws
+    assert t3.buffer._draws >= 5
+
+
 def test_resume_without_checkpoint_starts_fresh(tmp_path):
     cfg = _cfg(tmp_path, steps=0, resume=True)
     cfg.steps = 1  # satisfy the assert; loop runs briefly
