@@ -367,6 +367,9 @@ def probe_cem_kernel(params, cfg, log_std_min, log_std_dif,
     (num_envs>1) lowering. Any failure returns False -> per-iteration
     fused value kernel (or XLA) fallback."""
     import numpy as np
+    from tdmpc2_tpu.ops.pallas_rollout import mosaic_engine_alive
+    if not mosaic_engine_alive():
+        return False
     try:
         from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params
         task = 0 if cfg.multitask else None

@@ -216,15 +216,72 @@ def fused_value_rollout(dyn, rew, z0, actions, *, horizon: int,
                             interpret=interpret)
 
 
+# One-shot per-process canary verdict (None = not yet run).
+_MOSAIC_CANARY = None
+
+# Minimal standalone Mosaic program: proves the chip's kernel engine can
+# compile AND execute at all. Runs in a SUBPROCESS because a wedged engine
+# HANGS the fetch rather than raising (observed live 2026-08-20: after a
+# training process was killed mid-Pallas-program, every later Mosaic
+# execution on the chip blocked forever while plain XLA kept working) — an
+# in-process probe would hang agent construction and anything behind it
+# (bench.py, every queue slot). The child is killed on timeout; the parent
+# never enqueues a Mosaic program.
+_CANARY_SRC = """
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+def k(x_ref, o_ref):
+    o_ref[...] = x_ref[...] + 1.0
+x = jnp.zeros((8, 128), jnp.float32)
+y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(x)
+assert float(y.sum()) == 8 * 128
+print("MOSAIC_OK")
+"""
+
+
+def mosaic_engine_alive(timeout: float = 150.0) -> bool:
+    """True when this backend can execute a Mosaic kernel end to end.
+
+    TPU only (CPU/interpret tests have no engine to wedge); the verdict is
+    cached per process. On failure/timeout the Pallas probes short-circuit
+    to False and the agent uses the XLA planner (measured parity at the 5M
+    geometry, docs/PERFORMANCE.md)."""
+    global _MOSAIC_CANARY
+    if _MOSAIC_CANARY is not None:
+        return _MOSAIC_CANARY
+    if jax.default_backend() != 'tpu':
+        _MOSAIC_CANARY = True
+        return True
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run([sys.executable, '-c', _CANARY_SRC],
+                           capture_output=True, text=True, timeout=timeout)
+        _MOSAIC_CANARY = r.returncode == 0 and 'MOSAIC_OK' in r.stdout
+        if not _MOSAIC_CANARY:
+            print(f'[tdmpc2-tpu] Mosaic canary failed (rc={r.returncode}); '
+                  'disabling Pallas kernels (XLA fallback)', flush=True)
+    except Exception as e:  # noqa: BLE001 — timeout or spawn failure
+        _MOSAIC_CANARY = False
+        print(f'[tdmpc2-tpu] Mosaic canary {type(e).__name__}; the kernel '
+              'engine is wedged or unreachable — disabling Pallas kernels '
+              '(XLA fallback)', flush=True)
+    return _MOSAIC_CANARY
+
+
 def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
     """Compile + execute the fused value kernel once on tiny shapes.
 
     Run at agent construction on TPU: if Mosaic fails to lower/compile/run
     the kernel on this chip/toolchain, the agent falls back to the XLA
     planner instead of dying inside the first jitted plan. Returns True on
-    success; any exception (lowering, OOM, runtime) returns False.
+    success; any exception (lowering, OOM, runtime) returns False. A
+    subprocess canary (`mosaic_engine_alive`) runs first so a WEDGED kernel
+    engine — which hangs instead of raising — also lands on the XLA path.
     """
     import numpy as np
+    if not mosaic_engine_alive():
+        return False
     try:
         task = 0 if cfg.multitask else None
         mask = None

@@ -262,3 +262,32 @@ def test_fused_rollout_grid_blocked():
                               block_s=16)      # 4 grid programs
     np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-5)
+
+
+def test_mosaic_canary_timeout_disables_pallas(monkeypatch):
+    """A WEDGED Mosaic engine hangs instead of raising (observed live:
+    kill mid-Pallas-program -> every later kernel execution blocks while
+    XLA works). The subprocess canary must convert that hang into a clean
+    False so agent init / bench fall back to the XLA planner."""
+    import subprocess
+    import jax
+    from tdmpc2_tpu.ops import pallas_rollout as pr
+
+    monkeypatch.setattr(pr, '_MOSAIC_CANARY', None)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd='canary', timeout=kw.get('timeout'))
+    monkeypatch.setattr(subprocess, 'run', fake_run)
+    assert pr.mosaic_engine_alive(timeout=0.01) is False
+    # verdict is cached: a second call must not re-spawn (fake_run raising
+    # a different error would flip the result if it ran again)
+    monkeypatch.setattr(subprocess, 'run',
+                        lambda *a, **kw: (_ for _ in ()).throw(AssertionError))
+    assert pr.mosaic_engine_alive() is False
+
+
+def test_mosaic_canary_short_circuits_off_tpu(monkeypatch):
+    from tdmpc2_tpu.ops import pallas_rollout as pr
+    monkeypatch.setattr(pr, '_MOSAIC_CANARY', None)
+    assert pr.mosaic_engine_alive() is True  # CPU backend: nothing to wedge
