@@ -121,10 +121,12 @@ PYEOF
 }
 
 # ---- 1: mt30 medium-data scaling + 317M training demo --------------------
+# (time-rebalanced after the 11:00-11:50 Mosaic-wedge incident ate ~1.5h:
+# the 48M slot is CUT — 19M + 317M on the same data still give a scaling
+# pair — and the 317M demo runs 10k iters; both notes go in RUNLOG_r5)
 if [ -f datasets/mt30_medium/.complete ]; then
   mt30_slot 19 3600 40000 20000 r5-mt30-19m results/tdmpc2_tpu/mt30-medium-19m.csv
-  mt30_slot 48 3600 40000 20000 r5-mt30-48m results/tdmpc2_tpu/mt30-medium-48m.csv
-  mt30_slot 317 3600 20000 10000 r5-mt30-317m results/tdmpc2_tpu/mt30-medium-317m.csv
+  mt30_slot 317 3000 10000 5000 r5-mt30-317m results/tdmpc2_tpu/mt30-medium-317m.csv
 else
   log "mt30_medium dataset not ready; skipping mt30 slots"
 fi
@@ -133,7 +135,7 @@ fi
 fleet_slot cheetah-run 600000 5400 2,3 12
 
 # ---- 3: hopper-hop toward 4M: window minus the walker-flip reserve -------
-RESERVE=2700
+RESERVE=2400
 now=$(date +%s); HOP_TMO=$(( DEADLINE - now - RESERVE ))
 if [ "$HOP_TMO" -gt 1200 ]; then
   # nv=24 = the proven 2x12 fleet device geometry on a single seed: megastep
@@ -159,9 +161,10 @@ else
 fi
 
 # ---- 4: walker-flip custom-task proof (3 seeds) --------------------------
-fleet_slot walker-flip 300000 2700 1,2,3 12
+fleet_slot walker-flip 200000 2100 1,2,3 12
 
 # ---- 5: opportunistic ----------------------------------------------------
+mt30_slot 48 3600 40000 20000 r5-mt30-48m results/tdmpc2_tpu/mt30-medium-48m.csv
 fleet_slot cartpole-balance 500000 4800 1,2,3 12
 fleet_slot cheetah-run-backwards 300000 2700 1,2,3 12
 fleet_slot lunarlander-continuous 400000 5400 1 8
