@@ -181,6 +181,13 @@ class Config:
     # checkpoint already carries one update per pre-resume step, and the
     # refill steps REPLACE lost data rather than extend the run. 0 disables.
     resume_refill_steps: int = 25_000
+    # >0: checkpoint the most recent K replay episodes next to the model at
+    # every eval-boundary save (storage dtypes preserved; state tasks cost
+    # ~10 MB, 64px rgb ~6 MB/episode). On resume the snapshot is restored
+    # and its steps count toward the refill gate — resuming against an
+    # empty buffer destabilizes a trained agent even behind the gate
+    # (see data/buffer.py save_snapshot). 0 = off.
+    buffer_snapshot_eps: int = 0
     # fused actor-learner step for vectorized collection: plan + replay
     # sample + the step's gradient updates in ONE device dispatch (cuts the
     # per-vec-step host->device round trips from ~4 to 1 on the

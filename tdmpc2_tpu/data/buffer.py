@@ -285,6 +285,53 @@ class Buffer:
         self._num_eps += 1
         return self._num_eps
 
+    # ------------------------------------------------------------- snapshot
+
+    def save_snapshot(self, fp, max_episodes: int) -> int:
+        """Write the most recent `max_episodes` ring episodes to `fp` (npz,
+        storage dtypes preserved — pixel frames stay flat uint8). Returns
+        env steps captured (sum of valid rows - 1 bootstrap row each).
+
+        Purpose: the buffer is otherwise lost on preemption, and resuming a
+        well-trained agent against an EMPTY buffer destabilizes it even
+        behind the resume_refill_steps gate (walker-rgb r5: TD updates over
+        a narrow all-expert refill buffer corrupt Q exactly where MPPI
+        searches — R 912 -> ~375 at update resumption). Restoring a data
+        tail gives the resumed value function its support back."""
+        if self._storage is None or self._num_eps == 0:
+            return 0
+        k = min(int(max_episodes), self._num_eps, self._capacity_eps)
+        idxs = np.array([(self._num_eps - k + i) % self._capacity_eps
+                         for i in range(k)], np.int64)
+        out = {f'ep__{name}': np.asarray(arr[idxs])
+               for name, arr in self._storage.items()}
+        rows = np.asarray(self._ep_rows)[idxs].astype(np.int32)
+        out['valid_rows'] = rows
+        if self._has_task:
+            out['task'] = np.asarray(self._task_store)[idxs].astype(np.int32)
+        if self._obs_frame_shape is not None:
+            out['meta_frame_shape'] = np.array(self._obs_frame_shape,
+                                               np.int32)
+        with open(fp, 'wb') as f:
+            np.savez(f, **out)
+        return int(rows.astype(np.int64).sum() - k)
+
+    def load_snapshot(self, fp) -> int:
+        """Restore a `save_snapshot` file into this (fresh) buffer via the
+        bulk `load` path. Returns env steps restored (refill-gate credit)."""
+        data = np.load(fp, allow_pickle=False)
+        if 'meta_frame_shape' in data.files:
+            self._obs_frame_shape = tuple(
+                int(x) for x in data['meta_frame_shape'])
+        episodes = {n[4:]: data[n] for n in data.files
+                    if n.startswith('ep__')}
+        rows = data['valid_rows'].astype(np.int32)
+        episodes['valid_rows'] = rows
+        if 'task' in data.files:
+            episodes['task'] = data['task']
+        self.load(episodes)
+        return int(rows.astype(np.int64).sum() - rows.shape[0])
+
     @staticmethod
     def _add_device(*args):
         """(storage leaves..., ep_rows, episode leaves..., slot, valid_rows)"""

@@ -98,6 +98,16 @@ class OnlineTrainer(Trainer):
         self._resumed = True
         self._resume_step = self._step
         print(f'Resumed from {fp} at step {self._step:,}.')
+        snap = fp.parent / 'buffer.npz'
+        if snap.exists():
+            try:
+                self._refill_credit = self.buffer.load_snapshot(snap)
+                print(f'Restored replay snapshot: {self.buffer.num_eps} '
+                      f'episodes, {self._refill_credit:,} steps of '
+                      'refill credit.')
+            except Exception as e:  # noqa: BLE001 — never block a resume
+                print(f'Replay snapshot restore failed ({type(e).__name__}: '
+                      f'{e}); continuing with an empty buffer.')
 
     def _refill_done(self):
         """Update gate for the post-resume buffer-refill window: True once
@@ -107,12 +117,23 @@ class OnlineTrainer(Trainer):
         if not getattr(self, '_resumed', False):
             return True
         gate = int(self.cfg.get('resume_refill_steps', 0) or 0)
-        return self._step - self._resume_step >= gate
+        credit = getattr(self, '_refill_credit', 0)  # restored snapshot steps
+        return self._step - self._resume_step + credit >= gate
 
     def _checkpoint(self):
         self.logger.save_agent(
             self.agent, identifier='latest',
             extra=dict(step=self._step, ep_idx=self._ep_idx))
+        k = int(self.cfg.get('buffer_snapshot_eps', 0) or 0)
+        if k > 0 and self.buffer.num_eps > 0:
+            import os
+            from pathlib import Path
+            snap = Path(self.cfg.work_dir) / 'models' / 'buffer.npz'
+            try:  # atomic: a mid-write kill must not corrupt the snapshot
+                self.buffer.save_snapshot(str(snap) + '.tmp', k)
+                os.replace(str(snap) + '.tmp', snap)
+            except Exception as e:  # noqa: BLE001 — snapshots are best-effort
+                print(f'Replay snapshot save failed ({type(e).__name__}: {e})')
 
     def train(self):
         """Main loop (reference online_trainer.py:74-127)."""

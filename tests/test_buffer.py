@@ -352,3 +352,50 @@ def test_trial_allocation_oom_falls_back_to_host(monkeypatch):
     obs, action, *_ = buf.sample()
     assert np.isfinite(np.asarray(action)).all()
     buf.close()
+
+
+def test_snapshot_roundtrip_state(tmp_path):
+    """save_snapshot captures the K MOST RECENT ring episodes (through a
+    ring wrap) and load_snapshot restores them into a fresh buffer with
+    refill-gate credit equal to the captured env steps."""
+    cfg = make_cfg(ep_len=20, horizon=3, batch=4, buffer_size=100)  # 5-ep ring
+    buf = Buffer(cfg)
+    for i in range(7):  # wraps: ring holds ids 2..6
+        buf.add(make_episode(20, ep_id=i))
+    fp = tmp_path / 'buffer.npz'
+    steps = buf.save_snapshot(fp, 3)
+    assert steps == 3 * 20
+
+    buf2 = Buffer(make_cfg(ep_len=20, horizon=3, batch=4, buffer_size=100))
+    credit = buf2.load_snapshot(fp)
+    assert credit == steps and buf2.num_eps == 3
+    # only the 3 most recent episodes (ids 4, 5, 6) may appear in samples
+    for _ in range(5):
+        _, _, reward, _, _ = buf2.sample()
+        vals = np.asarray(reward).ravel()
+        ids = {int(v) for v in vals[np.isfinite(vals)]}
+        assert ids <= {4, 5, 6}, ids
+
+
+def test_snapshot_roundtrip_pixels(tmp_path):
+    """Pixel snapshots preserve the flat uint8 frame storage and the frame
+    metadata, so restored buffers restack correctly AND later env-format
+    (stacked) add() calls still unstack."""
+    cfg = make_cfg(ep_len=20, horizon=3, batch=8)
+    cfg.obs = 'rgb'
+    buf = Buffer(cfg)
+    for _ in range(3):
+        buf.add(_pixel_episode(20))
+    fp = tmp_path / 'buffer.npz'
+    buf.save_snapshot(fp, 2)
+
+    cfg2 = make_cfg(ep_len=20, horizon=3, batch=8)
+    cfg2.obs = 'rgb'
+    buf2 = Buffer(cfg2)
+    buf2.load_snapshot(fp)
+    assert buf2.num_eps == 2
+    assert buf2._storage['obs'].dtype == np.uint8
+    assert buf2._storage['obs'].shape[2:] == (3 * 4 * 4,)
+    _check_restacked(buf2)
+    buf2.add(_pixel_episode(20))  # env-format add after restore
+    _check_restacked(buf2)

@@ -109,6 +109,28 @@ def test_resume_refill_gate_suppresses_updates(tmp_path):
     assert t3.buffer._draws >= 5
 
 
+def test_resume_with_snapshot_restores_data_and_credit(tmp_path):
+    """cfg.buffer_snapshot_eps checkpoints a replay tail next to the model;
+    resume restores it and its steps count toward the refill gate, so a
+    data-backed resume updates from the first new steps instead of
+    re-seeding blind (the walker-rgb r5 destabilization class)."""
+    cfg = _cfg(tmp_path, steps=200)
+    cfg.buffer_snapshot_eps = 3
+    t1 = _trainer(cfg)
+    t1.train()
+    assert (tmp_path / 'run' / 'models' / 'buffer.npz').exists()
+
+    cfg2 = _cfg(tmp_path, steps=260, resume=True)
+    cfg2.buffer_snapshot_eps = 3
+    cfg2.resume_refill_steps = 100
+    t2 = _trainer(cfg2)
+    t2.train()
+    # ~3 x 50-step toy episodes of credit cover the 100-step gate
+    assert getattr(t2, '_refill_credit', 0) >= 100
+    assert t2.buffer.num_eps >= 3          # snapshot + new episodes
+    assert t2.buffer._draws >= 30          # updates ran from the first steps
+
+
 def test_resume_without_checkpoint_starts_fresh(tmp_path):
     cfg = _cfg(tmp_path, steps=0, resume=True)
     cfg.steps = 1  # satisfy the assert; loop runs briefly
