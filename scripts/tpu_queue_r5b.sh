@@ -143,9 +143,12 @@ if [ "$HOP_TMO" -gt 1200 ]; then
   # at nv=16); per-batch policy-lag correlation grows but stays within the
   # precedented range (fleet seeds saw 12, pixels ran 16)
   start_exporter hopper-hop r5 tdmpc2_tpu 0 1
+  # buffer_snapshot_eps: the deadline WILL kill this slot mid-run; the
+  # replay-tail snapshot (~8 MB for hopper state) makes next round's
+  # resume data-backed instead of re-seeding blind
   run hopper_hop "$HOP_TMO" python train.py task=hopper-hop seed=1 \
     steps=4000000 num_envs=24 eval_freq=50000 eval_episodes=10 \
-    exp_name=r5 resume=true
+    exp_name=r5 resume=true buffer_snapshot_eps=200
   stop_exporter
   export_task hopper-hop r5 tdmpc2_tpu 0 1
   if [ -f logs/hopper-hop/1/r5/models/latest.pkl ]; then
@@ -154,6 +157,10 @@ if [ "$HOP_TMO" -gt 1200 ]; then
       > results/checkpoints/full/hopper-hop-s1-r5.pkl.gz
     cp logs/hopper-hop/1/r5/eval.csv \
       results/checkpoints/full/hopper-hop-s1-r5.eval.csv
+    if [ -f logs/hopper-hop/1/r5/models/buffer.npz ]; then
+      cp logs/hopper-hop/1/r5/models/buffer.npz \
+        results/checkpoints/full/hopper-hop-s1-r5.buffer.npz
+    fi
   fi
   commit_results "results: hopper-hop long-horizon curve to the step reached + resumable artifact (r5)"
 else
