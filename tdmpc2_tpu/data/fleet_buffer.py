@@ -167,6 +167,48 @@ class FleetBuffer:
             ep_rows, valid[None], (seed, slot))
         return out + (ep_rows,)
 
+    # ------------------------------------------------------------- snapshot
+
+    def save_snapshot(self, fp, max_episodes: int) -> int:
+        """Write every seed's most recent S = min(max_episodes, min per-seed
+        count) ring episodes to `fp` (npz, arrays [K, S, rows, ...]). One
+        device gather + fetch per storage leaf (~30 MB for a 3-seed state
+        fleet at S=200), not a full-ring fetch. Returns the MIN per-seed env
+        steps captured — the conservative refill-gate credit. Same rationale
+        as Buffer.save_snapshot (resume-with-empty-buffer destabilization)."""
+        if self._storage is None or self.num_eps == 0:
+            return 0
+        s = min(int(max_episodes), self.num_eps, self._capacity_eps)
+        idxs = np.stack([
+            [(int(self._num_eps[k]) - s + i) % self._capacity_eps
+             for i in range(s)] for k in range(self.K)])          # [K, S]
+        gather = jax.jit(jax.vmap(lambda a, ix: a[ix]))
+        jidx = jnp.asarray(idxs)
+        out = {f'ep__{name}': np.asarray(gather(arr, jidx))
+               for name, arr in self._storage.items()}
+        rows = np.asarray(gather(self._ep_rows, jidx)).astype(np.int32)
+        out['valid_rows'] = rows
+        with open(fp, 'wb') as f:
+            np.savez(f, **out)
+        return int((rows.astype(np.int64) - 1).sum(axis=1).min())
+
+    def load_snapshot(self, fp) -> int:
+        """Restore a fleet `save_snapshot` file (seed count must match).
+        Returns the min per-seed env steps restored (refill-gate credit)."""
+        data = np.load(fp, allow_pickle=False)
+        rows = data['valid_rows'].astype(np.int32)                # [K, S]
+        if rows.shape[0] != self.K:
+            print(f'Fleet snapshot has {rows.shape[0]} seeds, need '
+                  f'{self.K}; skipping restore.')
+            return 0
+        episodes = {n[4:]: data[n] for n in data.files
+                    if n.startswith('ep__')}
+        for k in range(self.K):
+            ep_k = {name: v[k] for name, v in episodes.items()}
+            ep_k['valid_rows'] = rows[k]
+            self.add(k, ep_k)
+        return int((rows.astype(np.int64) - 1).sum(axis=1).min())
+
     def sample_many(self, n: int):
         """One device call -> per-seed update batches.
 

@@ -143,6 +143,16 @@ class FleetOnlineTrainer:
         self._resumed = True
         self._resume_step = self._step
         print(f'Resumed fleet ({self.K} seeds) at step {self._step:,}.')
+        snap = self._ckpt_path(0).parent / 'fleet_buffer.npz'
+        if snap.exists():
+            try:
+                self._refill_credit = self.buffer.load_snapshot(snap)
+                print(f'Restored fleet replay snapshot '
+                      f'({self._refill_credit:,} steps/seed of refill '
+                      'credit).')
+            except Exception as e:  # noqa: BLE001 — never block a resume
+                print(f'Fleet replay snapshot restore failed '
+                      f'({type(e).__name__}: {e}); continuing empty.')
 
     def _refill_done(self):
         """Update/deficit gate for the post-resume buffer-refill window
@@ -155,7 +165,8 @@ class FleetOnlineTrainer:
         if not getattr(self, '_resumed', False):
             return True
         gate = int(self.cfg.get('resume_refill_steps', 0) or 0)
-        return self._step - self._resume_step >= gate
+        credit = getattr(self, '_refill_credit', 0)  # restored snapshot steps
+        return self._step - self._resume_step + credit >= gate
 
     def _checkpoint(self):
         if not self.cfg.save_agent:
@@ -164,6 +175,16 @@ class FleetOnlineTrainer:
             self.agent.save_seed(
                 k, self._ckpt_path(k),
                 extra=dict(step=self._step, ep_idx=int(self._ep_idx[k])))
+        n_snap = int(self.cfg.get('buffer_snapshot_eps', 0) or 0)
+        if n_snap > 0 and self.buffer.num_eps > 0:
+            import os
+            snap = self._ckpt_path(0).parent / 'fleet_buffer.npz'
+            try:  # atomic: a mid-write kill must not corrupt the snapshot
+                self.buffer.save_snapshot(str(snap) + '.tmp', n_snap)
+                os.replace(str(snap) + '.tmp', snap)
+            except Exception as e:  # noqa: BLE001 — snapshots are best-effort
+                print(f'Fleet replay snapshot save failed '
+                      f'({type(e).__name__}: {e})')
 
     # ------------------------------------------------------------------ eval
 

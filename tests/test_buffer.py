@@ -399,3 +399,38 @@ def test_snapshot_roundtrip_pixels(tmp_path):
     _check_restacked(buf2)
     buf2.add(_pixel_episode(20))  # env-format add after restore
     _check_restacked(buf2)
+
+
+def test_fleet_snapshot_roundtrip(tmp_path):
+    """FleetBuffer snapshots capture every seed's most recent episodes
+    (per-seed ring wrap respected) and restore per-seed: samples from the
+    restored buffer must draw seed k's data only from seed k's recent
+    episodes."""
+    from tdmpc2_tpu.data.fleet_buffer import FleetBuffer
+
+    K = 2
+
+    def fleet_cfg():
+        cfg = make_cfg(ep_len=20, horizon=3, batch=4, buffer_size=100)
+        cfg.num_envs = 2
+        return cfg
+
+    buf = FleetBuffer(fleet_cfg(), K)
+    for k in range(K):
+        for i in range(7):  # 5-episode ring wraps: holds ids 2..6
+            ep = make_episode(20, ep_id=100 * k + i)
+            buf.add(k, {kk: v[None] for kk, v in ep.items()})
+    fp = tmp_path / 'fleet_buffer.npz'
+    steps = buf.save_snapshot(fp, 3)
+    assert steps == 3 * 20
+
+    buf2 = FleetBuffer(fleet_cfg(), K)
+    credit = buf2.load_snapshot(fp)
+    assert credit == steps and buf2.num_eps == 3
+    for _ in range(4):
+        _, _, reward, *_ = buf2.sample_many(1)
+        reward = np.asarray(reward)                 # [K, n, T, B, 1]
+        for k in range(K):
+            vals = reward[k].ravel()
+            ids = {int(v) for v in vals[np.isfinite(vals)]}
+            assert ids <= {100 * k + 4, 100 * k + 5, 100 * k + 6}, (k, ids)

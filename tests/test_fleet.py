@@ -291,3 +291,62 @@ def test_fleet_buffer_partial_flush_padded_block():
     _, _, reward, _, _ = buf.sample_many(1)
     seen = set(np.unique(np.asarray(reward)).tolist())
     assert seen <= {7.0, 9.0} and 9.0 in seen
+
+
+@pytest.mark.slow
+def test_fleet_resume_restores_buffer_snapshot(tmp_path, monkeypatch):
+    """cfg.buffer_snapshot_eps on a fleet run writes fleet_buffer.npz next
+    to seed 0's checkpoint; a resumed fleet restores it and gains refill
+    credit (the resume-with-empty-buffer destabilization class)."""
+    monkeypatch.chdir(tmp_path)
+    from tdmpc2_tpu.envs import make_fleet_env
+    from tdmpc2_tpu.trainer.fleet_online import FleetOnlineTrainer
+    from tdmpc2_tpu.utils.logger import Logger
+
+    def small(cfg):
+        cfg.eval_freq = 100
+        cfg.eval_episodes = 1
+        cfg.batch_size = 8
+        cfg.enc_dim = 32
+        cfg.mlp_dim = 32
+        cfg.latent_dim = 16
+        cfg.num_q = 2
+        cfg.num_samples = 16
+        cfg.num_elites = 4
+        cfg.num_pi_trajs = 2
+        cfg.iterations = 1
+        cfg.num_envs = 2
+        cfg.save_video = False
+        cfg.buffer_snapshot_eps = 2
+        return cfg
+
+    cfg = small(parse_cfg(Config(task='toy-reach')))
+    cfg.steps = 150
+    env = make_fleet_env(cfg, SEEDS)
+    cfg.seed_steps = 20
+    agent = FleetAgent(cfg, SEEDS)
+    loggers = [Logger(cfg.replace(seed=s, work_dir=str(agent.work_dir(k))))
+               for k, s in enumerate(SEEDS)]
+    tr = FleetOnlineTrainer(cfg=cfg, env=env, agent=agent,
+                            buffer=FleetBuffer(cfg, len(SEEDS)),
+                            loggers=loggers)
+    tr.train()
+    snap = agent.work_dir(0) / 'models' / 'fleet_buffer.npz'
+    assert snap.exists()
+
+    cfg2 = small(parse_cfg(Config(task='toy-reach')))
+    cfg2.steps = 200
+    cfg2.resume = True
+    cfg2.resume_refill_steps = 30
+    env2 = make_fleet_env(cfg2, SEEDS)
+    cfg2.seed_steps = 20
+    agent2 = FleetAgent(cfg2, SEEDS)
+    loggers2 = [Logger(cfg2.replace(seed=s, work_dir=str(agent2.work_dir(k))))
+                for k, s in enumerate(SEEDS)]
+    tr2 = FleetOnlineTrainer(cfg=cfg2, env=env2, agent=agent2,
+                             buffer=FleetBuffer(cfg2, len(SEEDS)),
+                             loggers=loggers2)
+    tr2.maybe_resume()
+    assert getattr(tr2, '_refill_credit', 0) >= 30
+    assert tr2.buffer.num_eps >= 2
+    assert tr2._refill_done()
