@@ -94,7 +94,7 @@ fleet_slot() {  # fleet_slot <task> <steps> <tmo> <seeds-csv> <nv>
   start_exporter "$task" r5 tdmpc2_tpu 0 "${SA[@]}"
   run "$name" "$tmo" python train.py task="$task" seeds="$seeds" \
     steps="$steps" num_envs="$nv" eval_freq=50000 eval_episodes=10 \
-    exp_name=r5 resume=true
+    exp_name=r5 resume=true buffer_snapshot_eps=200
   stop_exporter
   export_task "$task" r5 tdmpc2_tpu 0 "${SA[@]}"
   python scripts/strip_checkpoint.py --all r5 >/dev/null 2>&1 \
