@@ -134,9 +134,14 @@ fi
 # ---- 2: cheetah seeds 2,3 -> 600k (10th 3-seed grid task) ----------------
 fleet_slot cheetah-run 600000 5400 2,3 12
 
-# ---- 3: hopper-hop toward 4M: window minus the walker-flip reserve -------
-RESERVE=2400
-now=$(date +%s); HOP_TMO=$(( DEADLINE - now - RESERVE ))
+# ---- 3: hopper-hop toward 4M: window minus the walker-flip reserve, but
+# never less than a 3000s minimum slot (at ~300 env-steps/s on nv=24 that
+# is still ~0.9M steps + a resumable artifact + replay snapshot) ----------
+RESERVE=2100
+now=$(date +%s); REM=$(( DEADLINE - now ))
+HOP_TMO=$(( REM - RESERVE ))
+if [ "$HOP_TMO" -lt 3000 ]; then HOP_TMO=3000; fi
+if [ "$HOP_TMO" -gt $(( REM - 900 )) ]; then HOP_TMO=$(( REM - 900 )); fi
 if [ "$HOP_TMO" -gt 1200 ]; then
   # nv=24 = the proven 2x12 fleet device geometry on a single seed: megastep
   # amortizes 24 updates per dispatch (~420 env-steps/s theoretical vs ~355
@@ -169,6 +174,7 @@ fi
 
 # ---- 4: walker-flip custom-task proof (3 seeds) --------------------------
 fleet_slot walker-flip 200000 2100 1,2,3 12
+# (if the deadline already passed, run() skips these; ordering = priority)
 
 # ---- 5: opportunistic ----------------------------------------------------
 mt30_slot 48 3600 40000 20000 r5-mt30-48m results/tdmpc2_tpu/mt30-medium-48m.csv
