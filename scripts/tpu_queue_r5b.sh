@@ -120,6 +120,33 @@ PYEOF
   commit_results "results: mt30 ${size}M offline run on medium-quality self-collected data (r5)"
 }
 
+# ---- 0: pixels finisher — only if r5a2's slot was cap-killed short of 1M
+# (>=800k). Runs with the NEW trainer code: the refill gate makes this
+# resume non-destabilizing, and ~3600s covers refill + the remaining
+# updates + the final eval at 1M.
+if [ -f logs/walker-walk/1/r4px3/eval.csv ] && python - <<'PYEOF'
+import csv, sys
+rows = list(csv.DictReader(open('logs/walker-walk/1/r4px3/eval.csv')))
+m = max(float(r['step']) for r in rows) if rows else 0
+sys.exit(0 if 800000 <= m < 1000000 else 1)
+PYEOF
+then
+  start_exporter walker-walk r4px3 tdmpc2_tpu-pixels 400000 1
+  run walker_rgb_fin 3600 python train.py task=walker-walk obs=rgb seed=1 \
+    steps=1000000 num_envs=16 eval_freq=50000 eval_episodes=10 \
+    buffer_device=device exp_name=r4px3 resume=true
+  stop_exporter
+  export_task walker-walk r4px3 tdmpc2_tpu-pixels 400000 1
+  PXLOG=logs/walker-walk/1/r4px3
+  if [ -f "$PXLOG/models/latest.pkl" ]; then
+    gzip -c "$PXLOG/models/latest.pkl" \
+      > results/checkpoints/full/walker-walk-rgb-s1-r4px3.pkl.gz
+    cp "$PXLOG/eval.csv" \
+      results/checkpoints/full/walker-walk-rgb-s1-r4px3.eval.csv
+  fi
+  commit_results "results: walker-walk pixels finisher to 1M (r5)"
+fi
+
 # ---- 1: mt30 medium-data scaling + 317M training demo --------------------
 # (time-rebalanced after the 11:00-11:50 Mosaic-wedge incident ate ~1.5h:
 # the 48M slot is CUT — 19M + 317M on the same data still give a scaling
