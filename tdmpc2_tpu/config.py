@@ -170,6 +170,15 @@ class Config:
     # draw stream one sample_many(chunk) at a time (different draws than
     # one sample_many(n), equally uniform).
     update_chunk: int = 0
+    # replay ratio: gradient updates per environment step. The reference
+    # fixes this at 1 (tdmpc2/trainer/online_trainer.py:115-122); <1 trades
+    # sample-efficiency for wall-clock throughput on update-bound geometries
+    # (64px rgb: the fused conv update is ~8 ms/step and dominates the
+    # collection loop, so 0.5 nearly doubles env-steps/s). Fractional values
+    # accrue credit across vector steps (n * ratio per step, integer part
+    # dispatched). Honored by the online/vec-online trainers; the fleet
+    # trainer and deficit catch-up stay at the reference 1:1.
+    update_ratio: float = 1.0
     # after a resume that starts with an EMPTY replay buffer (the buffer is
     # never checkpointed), suppress gradient updates until the restored
     # policy has re-collected this many env steps. Running the normal

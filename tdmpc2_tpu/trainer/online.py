@@ -120,6 +120,19 @@ class OnlineTrainer(Trainer):
         credit = getattr(self, '_refill_credit', 0)  # restored snapshot steps
         return self._step - self._resume_step + credit >= gate
 
+    def _updates_due(self, n):
+        """Number of gradient updates owed for `n` just-collected env steps
+        under cfg.update_ratio (1.0 = the reference's 1-per-step,
+        reference online_trainer.py:115-122). Fractional ratios accrue
+        credit so e.g. ratio 0.5 at n=16 dispatches 8 every step."""
+        r = float(self.cfg.get('update_ratio', 1.0) or 1.0)
+        if r == 1.0:
+            return n
+        self._upd_credit = getattr(self, '_upd_credit', 0.0) + n * r
+        k = int(self._upd_credit)
+        self._upd_credit -= k
+        return k
+
     def _checkpoint(self):
         self.logger.save_agent(
             self.agent, identifier='latest',
@@ -186,7 +199,7 @@ class OnlineTrainer(Trainer):
                     num_updates = cfg.seed_steps
                     print('Pretraining agent on seed data...')
                 else:
-                    num_updates = 1
+                    num_updates = self._updates_due(1)
                 if cfg.profile_dir and num_updates == 1 and not getattr(
                         self, '_profiled', False):
                     # one-shot post-warmup device trace (open in TensorBoard)
@@ -197,12 +210,14 @@ class OnlineTrainer(Trainer):
                             _train_metrics = self.agent.update(self.buffer)
                         jax.block_until_ready(_train_metrics['total_loss'])
                 else:
+                    _train_metrics = None
                     for _ in range(num_updates):
                         _train_metrics = self.agent.update(self.buffer)
                 # keep update metrics as device arrays: float() here would
                 # block on the async update dispatch every step (one extra
                 # host<->device round trip); Logger.log converts lazily.
-                train_metrics.update(_train_metrics)
+                if _train_metrics is not None:  # update_ratio<1: 0-update steps
+                    train_metrics.update(_train_metrics)
 
             self._step += 1
 

@@ -135,20 +135,22 @@ class VecOnlineTrainer(OnlineTrainer):
                          and self._refill_done())
             if use_fused:
                 try:
-                    if cfg.overlap_update:
+                    k = self._updates_due(n)  # n unless update_ratio < 1
+                    if cfg.overlap_update or k == 0:
                         # pipelined: plan (1 dispatch + fetch), then the
                         # fused sample+update dispatched ASYNC before the
                         # env step so it overlaps host physics/rendering
                         actions = self.agent.act_collect(obs, (t_in_ep == 0))
                         timer.mark('act')
-                        train_metrics.update(
-                            self.agent.update_many_fused(self.buffer, n))
+                        if k:
+                            train_metrics.update(
+                                self.agent.update_many_fused(self.buffer, k))
                         timer.mark('update')
                     else:
-                        # one-dispatch megastep: plan + replay sample + n
+                        # one-dispatch megastep: plan + replay sample + k
                         # updates fused (see TDMPC2.vec_step)
                         actions, _tm = self.agent.vec_step(
-                            self.buffer, obs, (t_in_ep == 0), n)
+                            self.buffer, obs, (t_in_ep == 0), k)
                         train_metrics.update(_tm)
                         timer.mark('act')
                 except Exception as e:   # degrade, don't kill the run
@@ -177,8 +179,11 @@ class VecOnlineTrainer(OnlineTrainer):
                             _tm = self.agent.update(self.buffer)
                     else:
                         # n updates (1/env-step) fused into one device call
-                        _tm = self.agent.update_many(self.buffer, n)
-                    train_metrics.update(_tm)
+                        k = self._updates_due(n)
+                        _tm = self.agent.update_many(self.buffer, k) if k \
+                            else None
+                    if _tm is not None:
+                        train_metrics.update(_tm)
                 timer.mark('update')
 
             obs, rewards, dones, infos = self.env.step(actions)

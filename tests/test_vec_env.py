@@ -124,3 +124,39 @@ def test_vec_trainer_checkpoints_at_eval(tmp_path):
     trainer.train()
     import pathlib
     assert (pathlib.Path(cfg.work_dir) / 'models' / 'latest.pkl').exists()
+
+
+def test_update_ratio_halves_updates(tmp_path):
+    """cfg.update_ratio < 1 dispatches ratio * env-steps gradient updates
+    (credit-accumulated), trading sample-efficiency for throughput on
+    update-bound geometries; 1.0 is the reference's fixed 1-per-step
+    (reference online_trainer.py:115-122)."""
+    cfg = make_cfg(tmp_path, steps=330, eval_freq=1000, eval_episodes=1,
+                   update_ratio=0.5)
+    env = make_env(cfg)
+    cfg.seed_steps = 160
+    agent = TDMPC2(cfg)
+    counted = dict(n=0)
+    orig_many, orig_fused = agent.update_many, agent.update_many_fused
+
+    def count_many(buf, n):
+        counted['n'] += n
+        return orig_many(buf, n)
+
+    def count_fused(buf, n):
+        counted['n'] += n
+        return orig_fused(buf, n)
+
+    agent.update_many, agent.update_many_fused = count_many, count_fused
+    trainer = VecOnlineTrainer(cfg=cfg, env=env, agent=agent,
+                               buffer=Buffer(cfg), logger=Logger(cfg))
+    trainer.train()
+    # post-seed env steps that were eligible for updates, at ratio 0.5.
+    # seed burst (pretraining) bypasses _updates_due by design, so it is
+    # excluded from the expectation via the counter reset below.
+    assert counted['n'] > 0
+    post_seed_steps = trainer._step - cfg.seed_steps
+    # the seed-data pretraining burst contributes cfg.seed_steps updates
+    expected = cfg.seed_steps + 0.5 * post_seed_steps
+    assert abs(counted['n'] - expected) <= env.num_envs + 1, \
+        (counted['n'], expected)
