@@ -365,10 +365,19 @@ def probe_cem_kernel(params, cfg, log_std_min, log_std_dif,
     VMEM-resident footprint depends on the real model dims, so a tiny-shape
     probe would not predict compile success). Also probes the batched
     (num_envs>1) lowering. Any failure returns False -> per-iteration
-    fused value kernel (or XLA) fallback."""
+    fused value kernel (or XLA) fallback.
+
+    On TPU the probe first runs in a killable CHILD process (timeout 120 s,
+    see pallas_rollout.probe_in_subprocess): a wedged Mosaic engine can hang
+    the kernel COMPILE itself, which no in-process mechanism can interrupt."""
     import numpy as np
-    from tdmpc2_tpu.ops.pallas_rollout import mosaic_engine_alive
+    from tdmpc2_tpu.ops.pallas_rollout import (mosaic_engine_alive,
+                                               probe_in_subprocess)
     if not mosaic_engine_alive():
+        return False
+    if not probe_in_subprocess(
+            'cem', (params, cfg, log_std_min, log_std_dif, iterations),
+            timeout=120.0):
         return False
     try:
         from tdmpc2_tpu.ops.pallas_rollout import prepare_value_params

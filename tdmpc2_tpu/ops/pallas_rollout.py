@@ -269,6 +269,78 @@ def mosaic_engine_alive(timeout: float = 150.0) -> bool:
     return _MOSAIC_CANARY
 
 
+# Child probe processes set this so the subprocess guard doesn't recurse.
+_PROBE_CHILD_ENV = 'TDMPC2_TPU_PROBE_CHILD'
+
+_PROBE_CHILD_SRC = """
+import pickle, sys
+import jax
+try:
+    from tdmpc2_tpu.train import _enable_compilation_cache
+    _enable_compilation_cache()   # parent's in-process compile hits this cache
+except Exception:
+    pass
+kind = sys.argv[1]
+with open(sys.argv[2], 'rb') as f:
+    args = pickle.load(f)
+args = (jax.device_put(args[0]),) + args[1:]
+if kind == 'value':
+    from tdmpc2_tpu.ops.pallas_rollout import probe_value_kernel as probe
+else:
+    from tdmpc2_tpu.ops.pallas_cem import probe_cem_kernel as probe
+print('PROBE_OK' if probe(*args) else 'PROBE_FAIL')
+"""
+
+
+def probe_in_subprocess(kind: str, args: tuple, timeout: float) -> bool:
+    """Run a Pallas kernel probe in a killable child process first.
+
+    The in-process probes cannot be time-boxed: a wedged Mosaic engine can
+    hang the kernel COMPILE itself (observed live 2026-08-20: the tiny
+    canary and the value kernel compiled fine while `cem_prepared`'s
+    from_hlo blocked >7 minutes, stalling agent init, bench.py and every
+    queue slot), and a stuck XLA compile holds the GIL so no signal or
+    watchdog thread can interrupt it — only process death works. The child
+    enables the persistent compilation cache, so a healthy probe's Mosaic
+    compile is not paid twice by the parent's in-process probe. args[0] is
+    the params pytree (device_get'd for pickling); non-TPU backends and
+    child processes skip the guard (verdict True = proceed in-process)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+    if jax.default_backend() != 'tpu' or os.environ.get(_PROBE_CHILD_ENV):
+        return True
+    repo = str(Path(__file__).resolve().parents[2])
+    env = dict(os.environ)
+    env[_PROBE_CHILD_ENV] = '1'
+    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    fd, path = tempfile.mkstemp(suffix=f'.{kind}probe.pkl')
+    try:
+        with os.fdopen(fd, 'wb') as f:
+            pickle.dump((jax.device_get(args[0]),) + tuple(args[1:]), f)
+        r = subprocess.run([sys.executable, '-c', _PROBE_CHILD_SRC, kind,
+                            path], capture_output=True, text=True,
+                           timeout=timeout, env=env)
+        ok = r.returncode == 0 and 'PROBE_OK' in r.stdout
+        if not ok:
+            print(f'[tdmpc2-tpu] {kind} probe child rc={r.returncode}; '
+                  'falling back', flush=True)
+        return ok
+    except Exception as e:  # noqa: BLE001 — timeout/spawn failure = wedged
+        print(f'[tdmpc2-tpu] {kind} probe child {type(e).__name__} — the '
+              'Mosaic compile is wedged or too slow; falling back',
+              flush=True)
+        return False
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
     """Compile + execute the fused value kernel once on tiny shapes.
 
@@ -281,6 +353,9 @@ def probe_value_kernel(params, cfg, log_std_min, log_std_dif) -> bool:
     """
     import numpy as np
     if not mosaic_engine_alive():
+        return False
+    if not probe_in_subprocess(
+            'value', (params, cfg, log_std_min, log_std_dif), timeout=150.0):
         return False
     try:
         task = 0 if cfg.multitask else None
