@@ -113,3 +113,23 @@ def test_gym_mujoco_adapter():
     assert obs.dtype == np.float32 and obs.shape == (17,)
     obs, r, done, info = env.step(env.rand_act())
     assert 'terminated' in info and isinstance(info['terminated'], float)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('task,obs_dim,action_dim', [
+    ('dog-run', 223, 38),        # reference horizon 14M; heaviest DMControl
+    ('humanoid-walk', 67, 21),   # model (dims: reference results + dm_control
+])                               # suite defaults)
+def test_heavyweight_dmcontrol_tasks(task, obs_dim, action_dim):
+    """The dog/humanoid family builds and steps through the adapter (env
+    layer validation for the largest reference tasks; training them is
+    outside this chip budget — docs/ROADMAP.md)."""
+    cfg = parse_cfg(Config(task=task))
+    env = make_env(cfg)
+    obs = env.reset()
+    assert np.asarray(obs).shape == (obs_dim,)
+    assert cfg.action_dim == action_dim
+    for _ in range(3):
+        obs, reward, done, info = env.step(env.rand_act())
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(reward)
