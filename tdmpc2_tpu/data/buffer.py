@@ -303,8 +303,25 @@ class Buffer:
         k = min(int(max_episodes), self._num_eps, self._capacity_eps)
         idxs = np.array([(self._num_eps - k + i) % self._capacity_eps
                          for i in range(k)], np.int64)
-        out = {f'ep__{name}': np.asarray(arr[idxs])
-               for name, arr in self._storage.items()}
+        out = {}
+        take = None
+        for name, arr in self._storage.items():
+            if isinstance(arr, np.ndarray):
+                out[f'ep__{name}'] = np.asarray(arr[idxs])
+            else:
+                # Device ring: fetch per episode through ONE compiled
+                # dynamic-index program instead of a single k-episode
+                # gather — the all-at-once gather materializes ~600 MB
+                # for a 100-episode rgb snapshot and the tunnel's
+                # remote-compile helper rejects the program outright
+                # (observed live 2026-08-20: HTTP 500 at every snapshot
+                # save while ordinary training compiles succeeded).
+                if take is None:
+                    import jax
+                    take = jax.jit(lambda a, i: jax.lax.dynamic_index_in_dim(
+                        a, i, axis=0, keepdims=False))
+                out[f'ep__{name}'] = np.stack(
+                    [np.asarray(take(arr, np.int32(i))) for i in idxs])
         rows = np.asarray(self._ep_rows)[idxs].astype(np.int32)
         out['valid_rows'] = rows
         if self._has_task:
