@@ -3,8 +3,8 @@
 # ~1.29M env steps — 10-60k short of the VERDICT "past 1.3M" milestone,
 # and the exported curve ends at the last 50k eval boundary. This queue
 # (swapped in via .stop_queue5g before r5g's cheetah slot) gives hopper
-# one +1000 s data-backed resume (~+250k steps -> ~1.45M with rows past
-# 1.3M) and hands the remainder to cheetah seeds 2,3. Watchdog + retry as
+# one +1600 s data-backed resume (~+390k steps at the measured 243/s avg ->
+# rows safely past 1.3M) and hands the remainder to cheetah seeds 2,3; as
 # r5g.
 #
 # Usage: nohup setsid bash scripts/tpu_queue_r5h.sh <DEADLINE_EPOCH> \
@@ -126,7 +126,7 @@ hopper_commit "results: hopper-hop curve + artifact after the r5g slot"
 
 # ---- 1: hopper +1000 s to cross 1.3M ------------------------------------
 start_exporter hopper-hop r5 tdmpc2_tpu 0 1
-run_retrying hopper_hop 1000 python train.py task=hopper-hop seed=1 \
+run_retrying hopper_hop 1600 python train.py task=hopper-hop seed=1 \
   steps=4000000 num_envs=24 eval_freq=50000 eval_episodes=10 \
   exp_name=r5 resume=true buffer_snapshot_eps=200 use_pallas=false
 stop_exporter
